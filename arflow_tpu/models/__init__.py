@@ -1,0 +1,68 @@
+"""Model zoo: PWC-style coarse-to-fine flow networks (flax.linen, NHWC).
+
+Mirrors the reference factory (models/get_model.py:8-25):
+  - 'uflow'         -> PWCFlow           (models/uflow_model.py)
+  - 'uflow_prob'    -> PWCProbFlow       (models/uflow_prob_model.py)
+  - 'component'     -> ComponentNet      (models/uflow_prob_model.py)
+  - 'pwclite'       -> PWCLite           (models/pwclite.py)
+  - 'pwclite_prob'  -> PWCLiteProb       (models/pwclite_prob.py)
+  - 'pwclite_uflow' -> PWCLiteUflow      (models/pwclite_uflow.py)
+
+(The reference's 'flownet_prob' branch references an unimported class —
+models/get_model.py:19-20 — and is intentionally not reproduced.)
+"""
+
+from arflow_tpu.models.uflow import PWCFlow, PWCFeaturePyramid  # noqa: F401
+from arflow_tpu.models.pwclite import PWCLite  # noqa: F401
+from arflow_tpu.models.pwclite_prob import PWCLiteProb  # noqa: F401
+from arflow_tpu.models.pwclite_uflow import PWCLiteUflow  # noqa: F401
+from arflow_tpu.models.uflow_prob import PWCProbFlow, ComponentNet  # noqa: F401
+
+
+def get_model(cfg):
+    """Model factory: cfg.type -> linen module instance."""
+    if cfg.type == "uflow":
+        return PWCFlow(
+            level_dropout=cfg.get("level_dropout", 0.0),
+            feature_norm=cfg.get("feature_norm", True),
+        )
+    if cfg.type == "uflow_prob":
+        return PWCProbFlow(
+            level_dropout=cfg.get("level_dropout", 0.0),
+            feature_norm=cfg.get("feature_norm", True),
+            out_channels=tuple(cfg.out_channels),
+            inv_cov=cfg.get("inv_cov", False),
+            n_pyramids=cfg.get("n_pyramids", 1),
+            mixture_weights=cfg.get("mixture_weights", False),
+        )
+    if cfg.type == "component":
+        return ComponentNet(
+            level_dropout=cfg.get("level_dropout", 0.0),
+            feature_norm=cfg.get("feature_norm", True),
+            out_channels=tuple(cfg.out_channels),
+            inv_cov=cfg.get("inv_cov", False),
+            n_pyramids=cfg.get("n_pyramids", 1),
+            mixture_weights=cfg.get("mixture_weights", False),
+        )
+    if cfg.type == "pwclite":
+        return PWCLite(
+            n_frames=cfg.n_frames,
+            upsample=cfg.get("upsample", True),
+            reduce_dense=cfg.get("reduce_dense", True),
+        )
+    if cfg.type == "pwclite_prob":
+        return PWCLiteProb(
+            n_frames=cfg.n_frames,
+            upsample=cfg.get("upsample", True),
+            reduce_dense=cfg.get("reduce_dense", True),
+        )
+    if cfg.type == "pwclite_uflow":
+        return PWCLiteUflow(
+            n_frames=cfg.n_frames,
+            reduce_dense=cfg.get("reduce_dense", True),
+            level_dropout=cfg.get("level_dropout", 0.0),
+            feature_norm=cfg.get("feature_norm", False),
+            align_corners=cfg.get("align_corners", True),
+            warp_pad=cfg.get("warp_pad", "zeros"),
+        )
+    raise NotImplementedError(cfg.type)

@@ -1,0 +1,95 @@
+"""Layer primitives with torch-equivalent geometry (padding / transpose-conv).
+
+All convs use explicit symmetric padding ``((k-1)*dilation)//2`` so that
+strided convs align taps exactly like torch's ``padding=p`` (XLA's 'SAME'
+shifts taps for even inputs at stride 2, which would break checkpoint parity).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Reference inits: xavier_uniform for the uflow family
+# (models/uflow_model.py:124-136), kaiming_normal(fan_in) for pwclite
+# (models/pwclite.py:149-159) and uflow_prob (models/uflow_prob_model.py:209-221).
+xavier_uniform = jax.nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+kaiming_normal = jax.nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def conv2d(
+    features: int,
+    kernel_size: int = 3,
+    stride: int = 1,
+    dilation: int = 1,
+    name: str | None = None,
+    kernel_init: Callable = xavier_uniform,
+    use_bias: bool = True,
+) -> nn.Conv:
+    pad = ((kernel_size - 1) * dilation) // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        name=name,
+    )
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transpose conv with exact ``torch.nn.ConvTranspose2d(k, s, p)`` geometry.
+
+    Implemented as a regular conv over the stride-dilated input with padding
+    ``k - 1 - p`` and a pre-flipped kernel, so the stored 'kernel' param (HWIO,
+    I = torch in_channels) applies directly in ``lax.conv_general_dilated``.
+    The torch importer maps ``W[i, o, kh, kw] -> kernel[K-1-kh, K-1-kw, i, o]``.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, in_features, self.features), x.dtype
+        )
+        pad = k - 1 - p
+        y = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", jax.nn.initializers.zeros, (self.features,), x.dtype
+            )
+            y = y + bias
+        return y
+
+
+def level_dropout(x_list, rate: float, rng) -> list:
+    """Whole-level dropout: one scalar Bernoulli per call, applied to all
+    tensors in x_list (models/uflow_model.py:210-214 semantics: keep with
+    probability 1-rate, NO rescaling)."""
+    keep = (jax.random.uniform(rng, ()) > rate).astype(x_list[0].dtype)
+    return [x * keep for x in x_list]

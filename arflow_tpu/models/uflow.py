@@ -1,0 +1,204 @@
+"""PWCFlow — the UFlow PWC network (flax.linen, NHWC).
+
+Faithful capability port of the reference's PyTorch UFlow model
+(models/uflow_model.py:96-470): 5-level feature pyramid with 'valid' convs and
+manual zero pad, per-level dense-net flow decoders, deconv context
+propagation, moments-across-images feature normalization before the cost
+volume, dilated refinement at the 1/4-res level, whole-level dropout, and two
+final 2x bilinear upsamples back to full resolution.
+
+Returns flows at 6 scales, finest first:
+[full, 1/2, 1/4 (refined output level), 1/8, 1/16, 1/32].
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from arflow_tpu.models.layers import conv2d, leaky_relu, xavier_uniform, ConvTranspose2dTorch
+from arflow_tpu.ops import (
+    compute_cost_volume,
+    flow_to_warp,
+    normalize_features,
+    resample,
+    upsample,
+)
+
+_LEAKY_ALPHA = 0.1
+
+
+class PWCFeaturePyramid(nn.Module):
+    """Feature pyramid (models/uflow_model.py:364-470).
+
+    filters: per-level (num_convs, num_filters); first conv of each level has
+    stride 2. Input in [0, 1] is rescaled to [-1, 1].
+    """
+
+    filters: Sequence[tuple] = ((3, 32), (3, 32), (3, 32), (3, 32), (3, 32))
+    leaky_relu_alpha: float = _LEAKY_ALPHA
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list:
+        x = x * 2.0 - 1.0
+        features = []
+        for level, (num_layers, num_filters) in enumerate(self.filters):
+            for i in range(num_layers):
+                stride = 2 if i == 0 else 1
+                x = conv2d(
+                    num_filters,
+                    kernel_size=3,
+                    stride=stride,
+                    name=f"conv_l{level}_{i}",
+                    kernel_init=xavier_uniform,
+                )(x)
+                x = leaky_relu(x, self.leaky_relu_alpha)
+            features.append(x)
+        return features
+
+
+class PWCFlow(nn.Module):
+    """UFlow PWC optical-flow network (models/uflow_model.py:96-361)."""
+
+    level_dropout: float = 0.0
+    feature_norm: bool = True
+    num_levels: int = 5
+    num_context_up_channels: int = 32
+    max_displacement: int = 4
+    accumulate_flow: bool = True
+    use_feature_warp: bool = True
+    flow_decoder_filters: Sequence[int] = (128, 128, 96, 64, 32)
+    refinement_filters: Sequence[tuple] = (
+        (128, 1),
+        (128, 2),
+        (128, 4),
+        (96, 8),
+        (64, 16),
+        (32, 1),
+    )
+
+    def setup(self):
+        self.feature_pyramid = PWCFeaturePyramid(name="feature_pyramid")
+
+        # Per-level dense-net flow decoders (uflow_model.py:288-323); levels
+        # 1..num_levels-1 (level 0 never estimates flow).
+        flow_layers = {}
+        for level in range(1, self.num_levels):
+            convs = []
+            for j, c in enumerate(self.flow_decoder_filters):
+                convs.append(
+                    conv2d(c, kernel_size=3, name=f"flow_l{level}_c{j}")
+                )
+            convs.append(
+                conv2d(2, kernel_size=3, name=f"flow_l{level}_out")
+            )
+            flow_layers[level] = convs
+        self._flow_layers = flow_layers
+
+        # Context upsampling deconvs (uflow_model.py:275-286).
+        self._context_up_layers = {
+            level: ConvTranspose2dTorch(
+                self.num_context_up_channels,
+                kernel_size=4,
+                stride=2,
+                padding=1,
+                name=f"context_up_l{level}",
+            )
+            for level in range(1, self.num_levels)
+        }
+
+        # Dilated refinement model (uflow_model.py:325-348).
+        refine = []
+        for j, (c, d) in enumerate(self.refinement_filters):
+            refine.append(conv2d(c, kernel_size=3, dilation=d, name=f"refine_{j}"))
+        refine.append(conv2d(2, kernel_size=3, name="refine_out"))
+        self._refine_model = refine
+
+    def _maybe_level_dropout(self, tensors, train):
+        if not train or self.level_dropout <= 0:
+            return tensors
+        rng = self.make_rng("dropout")
+        keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
+            tensors[0].dtype
+        )
+        return [t * keep for t in tensors]
+
+    def forward_2_frames(self, fp1, fp2, train: bool = False):
+        """Coarse-to-fine flow between two feature pyramids
+        (uflow_model.py:138-245)."""
+        context = None
+        flow = None
+        flow_up = None
+        context_up = None
+        flows = []
+
+        # levels num_levels-1 .. 1 (coarse to fine; level 0 skipped).
+        for level in range(self.num_levels - 1, 0, -1):
+            features1 = fp1[level]
+            features2 = fp2[level]
+
+            if flow_up is None or not self.use_feature_warp:
+                warped2 = features2
+            else:
+                warp_up = flow_to_warp(flow_up)
+                warped2 = resample(features2, warp_up)
+
+            features1_normalized, warped2_normalized = normalize_features(
+                [features1, warped2],
+                normalize=self.feature_norm,
+                center=self.feature_norm,
+                moments_across_channels=True,
+                moments_across_images=True,
+            )
+            cost_volume = compute_cost_volume(
+                features1_normalized, warped2_normalized, self.max_displacement
+            )
+            cost_volume = leaky_relu(cost_volume, _LEAKY_ALPHA)
+
+            if flow_up is None:
+                x_in = jnp.concatenate([cost_volume, features1], axis=-1)
+            else:
+                x_in = jnp.concatenate(
+                    [context_up, flow_up, cost_volume, features1], axis=-1
+                )
+
+            # Dense-net connections (uflow_model.py:196-208).
+            x_out = None
+            for conv in self._flow_layers[level][:-1]:
+                x_out = leaky_relu(conv(x_in), _LEAKY_ALPHA)
+                x_in = jnp.concatenate([x_in, x_out], axis=-1)
+            context = x_out
+            flow = self._flow_layers[level][-1](context)
+
+            context, flow = self._maybe_level_dropout([context, flow], train)
+
+            if flow_up is not None and self.accumulate_flow:
+                flow = flow + flow_up
+
+            flow_up = upsample(flow, is_flow=True)
+            context_up = self._context_up_layers[level](context)
+
+            flows.insert(0, flow)
+
+        # Refinement at the output level (uflow_model.py:227-240).
+        refinement = jnp.concatenate([context, flow], axis=-1)
+        for conv in self._refine_model[:-1]:
+            refinement = leaky_relu(conv(refinement), _LEAKY_ALPHA)
+        refinement = self._refine_model[-1](refinement)
+        (refinement,) = self._maybe_level_dropout([refinement], train)
+
+        flows[0] = flow + refinement
+        flows.insert(0, upsample(flows[0], is_flow=True))
+        flows.insert(0, upsample(flows[0], is_flow=True))
+        return flows
+
+    def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):
+        fp1 = self.feature_pyramid(img1)
+        fp2 = self.feature_pyramid(img2)
+        res = {"flows_fw": self.forward_2_frames(fp1, fp2, train=train)}
+        if with_bk:
+            res["flows_bw"] = self.forward_2_frames(fp2, fp1, train=train)
+        return res

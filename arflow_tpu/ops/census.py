@@ -1,0 +1,100 @@
+"""Census (ternary) transform and census loss (uflow/DDFlow recipe).
+
+Reference: utils/uflow_utils.py:227-306. The 7x7 patch extraction that the
+reference does with an identity-kernel conv (uflow_utils.py:255-257) is
+expressed here with ``lax.conv_general_dilated_patches``, which XLA lowers to
+cheap shifted reads instead of a 49-channel convolution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
+    """NHWC RGB -> (B,H,W,1) grayscale (utils/uflow_utils.py:227-231)."""
+    weights = jnp.array([0.2989, 0.5870, 0.1140], dtype=image.dtype)
+    return jnp.einsum(
+        "...c,c->...", image, weights, precision=lax.Precision.HIGHEST
+    )[..., None]
+
+
+def extract_patches(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(B,H,W,1) -> (B,H,W,patch_size**2) zero-padded SAME patches."""
+    return lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(patch_size, patch_size),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def census_transform(image: jnp.ndarray, patch_size: int = 7) -> jnp.ndarray:
+    """DDFlow census transform (utils/uflow_utils.py:241-261)."""
+    intensities = rgb_to_grayscale(image) * 255.0
+    neighbors = extract_patches(intensities, patch_size)
+    diff = neighbors - intensities
+    return diff / jnp.sqrt(0.81 + jnp.square(diff))
+
+
+def soft_hamming(a: jnp.ndarray, b: jnp.ndarray, thresh: float = 0.1) -> jnp.ndarray:
+    """Soft hamming distance, summed over features (utils/uflow_utils.py:264-279)."""
+    sq_dist = jnp.square(a - b)
+    soft = sq_dist / (thresh + sq_dist)
+    return jnp.sum(soft, axis=-1, keepdims=True)
+
+
+def zero_mask_border(mask: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Zero a border of patch_size//2 pixels (utils/uflow_utils.py:234-238)."""
+    pad = patch_size // 2
+    h, w = mask.shape[-3], mask.shape[-2]
+    border = jnp.zeros((h, w, 1), dtype=mask.dtype)
+    border = border.at[pad : h - pad, pad : w - pad, :].set(1.0)
+    return mask * border
+
+
+def abs_robust_loss(diff: jnp.ndarray, eps: float = 0.01, q: float = 0.4) -> jnp.ndarray:
+    """(|d| + eps)^q (utils/uflow_utils.py:213-214)."""
+    return jnp.power(jnp.abs(diff) + eps, q)
+
+
+def robust_l1(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(x + 1e-6)-style robust L1 (utils/uflow_utils.py:337-338)."""
+    return jnp.sqrt(x + 0.001**2)
+
+
+def census_loss(
+    image_a: jnp.ndarray,
+    image_b: jnp.ndarray,
+    mask: jnp.ndarray,
+    patch_size: int = 7,
+) -> jnp.ndarray:
+    """Masked census loss (utils/uflow_utils.py:282-293)."""
+    hamming, _ = _census_dist(image_a, image_b, patch_size)
+    padded_mask = zero_mask_border(mask, patch_size)
+    diff = abs_robust_loss(hamming) * padded_mask
+    denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
+    return jnp.sum(diff) / denom
+
+
+def census_loss_no_penalty(
+    image_a: jnp.ndarray,
+    image_b: jnp.ndarray,
+    mask: jnp.ndarray,
+    patch_size: int = 7,
+):
+    """Per-pixel census distance + normalized weight (uflow_utils.py:296-306)."""
+    hamming, _ = _census_dist(image_a, image_b, patch_size)
+    padded_mask = zero_mask_border(mask, patch_size)
+    denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
+    return hamming, padded_mask / denom
+
+
+def _census_dist(image_a, image_b, patch_size):
+    census_a = census_transform(image_a, patch_size)
+    census_b = census_transform(image_b, patch_size)
+    return soft_hamming(census_a, census_b), None

@@ -1,0 +1,99 @@
+"""Local correlation cost volume and feature normalization.
+
+Reference: models/uflow_model.py:53-92 (shift-and-multiply cost volume, mean
+over channels) and models/correlation_native.py:13-23 (identical math for the
+PWC-Lite family; the CUDA kernel in models/correlation_package normalizes by
+K^2*C with K=1, i.e. also a channel mean).
+
+Channel order matches the reference: displacement (dy, dx) with dy-major,
+i.e. output channel (dy + md) * (2*md + 1) + (dx + md).
+
+The default JAX formulation (81 shifted elementwise products) fuses well under
+XLA; a fused Pallas kernel lives in arflow_tpu/ops/pallas/cost_volume_pallas.py
+and is used automatically on TPU for supported shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def compute_cost_volume_reference(
+    features1: jnp.ndarray, features2: jnp.ndarray, max_displacement: int = 4
+) -> jnp.ndarray:
+    """(B,H,W,C) x (B,H,W,C) -> (B,H,W,(2*md+1)**2), pure-JAX reference."""
+    b, h, w, c = features1.shape
+    md = max_displacement
+    if md <= 0 or md >= h:
+        raise ValueError(f"Max displacement of {md} is too large.")
+    num_shifts = 2 * md + 1
+    f2_padded = jnp.pad(features2, ((0, 0), (md, md), (md, md), (0, 0)))
+    costs = []
+    for i in range(num_shifts):
+        for j in range(num_shifts):
+            shifted = lax.dynamic_slice(f2_padded, (0, i, j, 0), (b, h, w, c))
+            costs.append(jnp.mean(features1 * shifted, axis=-1))
+    return jnp.stack(costs, axis=-1)
+
+
+def compute_cost_volume(
+    features1: jnp.ndarray,
+    features2: jnp.ndarray,
+    max_displacement: int = 4,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Cost volume; dispatches to the fused Pallas kernel on TPU when possible."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from arflow_tpu.ops.pallas.cost_volume_pallas import (
+                cost_volume_pallas,
+                supported,
+            )
+
+            if supported(features1.shape, max_displacement):
+                return cost_volume_pallas(features1, features2, max_displacement)
+        except ImportError:
+            pass
+    return compute_cost_volume_reference(features1, features2, max_displacement)
+
+
+def normalize_features(
+    feature_list,
+    normalize: bool,
+    center: bool,
+    moments_across_channels: bool,
+    moments_across_images: bool,
+):
+    """Feature normalization before the cost volume (uflow_model.py:8-50).
+
+    Variance uses the unbiased estimator to match ``torch.var``.
+    """
+    axes = (1, 2, 3) if moments_across_channels else (1, 2)
+
+    means = []
+    variances = []
+    for f in feature_list:
+        mean = jnp.mean(f, axis=axes, keepdims=True)
+        n = 1
+        for a in axes:
+            n *= f.shape[a]
+        var = jnp.sum(jnp.square(f - mean), axis=axes, keepdims=True) / max(n - 1, 1)
+        means.append(mean)
+        variances.append(var)
+
+    if moments_across_images:
+        mean_all = sum(means) / len(means)
+        var_all = sum(variances) / len(variances)
+        means = [mean_all] * len(means)
+        variances = [var_all] * len(variances)
+
+    stds = [jnp.sqrt(v + 1e-16) for v in variances]
+    if center:
+        feature_list = [f - m for f, m in zip(feature_list, means)]
+    if normalize:
+        feature_list = [f / s for f, s in zip(feature_list, stds)]
+    return feature_list

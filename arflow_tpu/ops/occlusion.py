@@ -1,0 +1,107 @@
+"""Occlusion estimation ops: range maps and occlusion masks.
+
+Reference semantics:
+- ``compute_range_map``: utils/uflow_utils.py:80-160 (uflow convention) —
+  bilinear scatter-add of how often each pixel is sampled by the flow.
+- ``get_corresponding_map``: utils/warp_utils.py:26-80 (ARFlow variant with
+  clamped corner indices).
+- ``get_occu_mask_bidirection`` / ``get_occu_mask_backward``:
+  utils/warp_utils.py:93-116.
+
+TPU-first: the reference's ``scatter_add_`` with boolean-filtered index lists
+becomes a dense masked scatter-add (``.at[idx].add``) over the flattened
+(B*H*W) range — static shapes, no host-side filtering, deterministic on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from arflow_tpu.ops.warp import flow_to_warp, flow_warp
+
+
+def _scatter_bilinear(x, y, h, w, clamp_corners: bool):
+    """Shared bilinear splat: returns (B, H*W) count image flattened.
+
+    x, y: (B, H, W) target coordinates.
+    clamp_corners=False: uflow compute_range_map corner validity
+      (corner in-range test on floor+offset corners).
+    clamp_corners=True: ARFlow get_corresponding_map (clamped corners marked
+      invalid when clamping changed them) — numerically identical validity
+      rule; both reduce to masking out-of-range corners.
+    """
+    b = x.shape[0]
+    n = h * w
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ox = x - x0
+    oy = y - y0
+
+    counts = jnp.zeros((b, n), dtype=x.dtype)
+    for di in (0, 1):  # vertical corner offset
+        for dj in (0, 1):  # horizontal corner offset
+            yi = y0 + di
+            xj = x0 + dj
+            # Bilinear weights: (1-di) - (-1)^di * oy etc. (uflow_utils.py:142-144)
+            wi = (1.0 - di) - ((-1.0) ** di) * oy
+            wj = (1.0 - dj) - ((-1.0) ** dj) * ox
+            wgt = wi * wj
+            valid = (yi >= 0) & (yi < h) & (xj >= 0) & (xj < w)
+            wgt = jnp.where(valid, wgt, 0.0)
+            idx = (
+                jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+                + jnp.clip(xj, 0, w - 1).astype(jnp.int32)
+            )
+            counts = counts.at[
+                jnp.arange(b)[:, None], idx.reshape(b, -1)
+            ].add(wgt.reshape(b, -1))
+    return counts
+
+
+def compute_range_map(flow: jnp.ndarray) -> jnp.ndarray:
+    """How often each pixel is sampled by ``flow`` (B,H,W,2) -> (B,H,W,1)."""
+    b, h, w, _ = flow.shape
+    coords = flow_to_warp(flow)
+    counts = _scatter_bilinear(coords[..., 0], coords[..., 1], h, w, False)
+    return counts.reshape(b, h, w, 1)
+
+
+def get_corresponding_map(coords: jnp.ndarray) -> jnp.ndarray:
+    """ARFlow correspondence map from unnormalized coords (warp_utils.py:26-80).
+
+    coords: (B,H,W,2) warp coordinates; returns (B,H,W,1).
+    """
+    b, h, w, _ = coords.shape
+    counts = _scatter_bilinear(coords[..., 0], coords[..., 1], h, w, True)
+    return counts.reshape(b, h, w, 1)
+
+
+def get_occu_mask_bidirection(
+    flow12: jnp.ndarray,
+    flow21: jnp.ndarray,
+    scale: float = 0.01,
+    bias: float = 0.5,
+) -> jnp.ndarray:
+    """Brox-style forward-backward consistency occlusion (warp_utils.py:93-100).
+
+    Returns 1.0 at occluded pixels. (B,H,W,1).
+    """
+    flow21_warped = flow_warp(flow21, flow12, pad="zeros")
+    flow12_diff = flow12 + flow21_warped
+    mag = jnp.sum(flow12 * flow12, axis=-1, keepdims=True) + jnp.sum(
+        flow21_warped * flow21_warped, axis=-1, keepdims=True
+    )
+    occ_thresh = scale * mag + bias
+    occ = jnp.sum(flow12_diff * flow12_diff, axis=-1, keepdims=True) > occ_thresh
+    return occ.astype(flow12.dtype)
+
+
+def get_occu_mask_backward(flow21: jnp.ndarray, th: float = 0.2) -> jnp.ndarray:
+    """Wang-style range-map occlusion (warp_utils.py:103-116). 1 at occluded."""
+    corr_map = get_corresponding_map(flow_to_warp(flow21))
+    clamped = jnp.clip(corr_map, 0.0, 1.0)
+    if th > 0:
+        return (clamped < th).astype(flow21.dtype)
+    return 1.0 - lax.stop_gradient(clamped)

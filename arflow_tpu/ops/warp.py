@@ -1,0 +1,120 @@
+"""Warping / resampling ops (uflow and ARFlow conventions).
+
+Reference semantics reproduced (file:line cite into /root/reference):
+- ``flow_to_warp``: utils/uflow_utils.py:6-32 (grid + flow, u then v).
+- ``resample``: utils/uflow_utils.py:53-77 — bilinear ``grid_sample`` with
+  ``align_corners=True`` and zeros padding. Because align_corners=True
+  normalization round-trips to raw pixel coordinates, this is exactly a
+  bilinear gather at pixel coords with per-tap zero fill outside the image.
+- ``mask_invalid``: utils/uflow_utils.py:35-50.
+- ``flow_warp``: utils/warp_utils.py:83-90 — ARFlow-era warp with configurable
+  padding mode and align_corners. align_corners=False maps pixel coord x to
+  ``x * W / (W-1) - 0.5`` before the gather (grid_sample normalization math).
+- ``border_mask``: utils/warp_utils.py:119-134 (strict inequalities).
+
+TPU note: the gather is expressed as ``jnp.take_along_axis`` over the
+flattened spatial dim, which XLA lowers to a single gather per tap; the four
+taps and weighting fuse into the surrounding computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def flow_to_warp(flow: jnp.ndarray) -> jnp.ndarray:
+    """Compute warp coordinates (endpoints) from flow. NHWC, channels (u, v)."""
+    h, w = flow.shape[-3], flow.shape[-2]
+    x = jnp.arange(w, dtype=flow.dtype)
+    y = jnp.arange(h, dtype=flow.dtype)
+    grid = jnp.stack(jnp.meshgrid(x, y, indexing="xy"), axis=-1)  # (H, W, 2)
+    return flow + grid
+
+
+def mask_invalid(coords: jnp.ndarray) -> jnp.ndarray:
+    """1.0 where warp coords land inside the image, else 0.0. (B,H,W,1)."""
+    h, w = coords.shape[-3], coords.shape[-2]
+    x, y = coords[..., 0], coords[..., 1]
+    valid = (x >= 0.0) & (x <= w - 1.0) & (y >= 0.0) & (y <= h - 1.0)
+    return valid[..., None].astype(coords.dtype)
+
+
+def bilinear_gather(
+    source: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sample of ``source`` (B,H,W,C) at pixel coords x, y (B,Hq,Wq).
+
+    padding='zeros': out-of-range taps contribute zero (grid_sample zeros).
+    padding='border': coordinates are clamped to the image (grid_sample border).
+    """
+    b, h, w, c = source.shape
+    if padding == "border":
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y = jnp.clip(y, 0.0, h - 1.0)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+
+    flat = source.reshape(b, h * w, c)
+    out = None
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            wgt = (wx1 if dx else 1.0 - wx1) * (wy1 if dy else 1.0 - wy1)
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            wgt = jnp.where(valid, wgt, 0.0)
+            xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            idx = (yi_c * w + xi_c).reshape(b, -1, 1)
+            tap = jnp.take_along_axis(flat, idx, axis=1)
+            tap = tap.reshape(x.shape + (c,)) * wgt[..., None]
+            out = tap if out is None else out + tap
+    return out
+
+
+def resample(source: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Resample ``source`` (B,H,W,C) at warp ``coords`` (B,H,W,2), uflow style.
+
+    Equivalent to grid_sample(align_corners=True, padding_mode='zeros') on
+    align_corners-normalized coords (utils/uflow_utils.py:53-77).
+    """
+    return bilinear_gather(source, coords[..., 0], coords[..., 1], padding="zeros")
+
+
+def flow_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    pad: str = "zeros",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """ARFlow-era warp (utils/warp_utils.py:83-90): sample x at grid + flow.
+
+    align_corners=False reproduces grid_sample's half-pixel remap of the
+    align_corners-normalized grid: pixel coord p -> p * S / (S - 1) - 0.5.
+    """
+    coords = flow_to_warp(flow)
+    cx, cy = coords[..., 0], coords[..., 1]
+    if not align_corners:
+        h, w = x.shape[-3], x.shape[-2]
+        cx = cx * w / max(w - 1, 1) - 0.5
+        cy = cy * h / max(h - 1, 1) - 0.5
+    return bilinear_gather(x, cx, cy, padding=pad)
+
+
+def border_mask(flow: jnp.ndarray) -> jnp.ndarray:
+    """Mask of pixels whose correspondence lands strictly inside the borders.
+
+    Reference: utils/warp_utils.py:119-134 (note strict < / >).
+    """
+    h, w = flow.shape[-3], flow.shape[-2]
+    coords = flow_to_warp(flow)
+    x, y = coords[..., 0], coords[..., 1]
+    valid = (x > 0.0) & (x < w - 1.0) & (y > 0.0) & (y < h - 1.0)
+    return valid[..., None].astype(flow.dtype)

@@ -1,0 +1,34 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-device logic is exercised with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` per the reference test
+strategy we designed (SURVEY.md §4): a TPU-less CI runs everything on CPU, and
+sharding paths are validated on the virtual device mesh.
+
+Env vars must be set before the first ``import jax`` anywhere, which pytest
+guarantees by importing conftest first.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)  # float64 oracles in parity tests
+# This JAX build defaults matmuls/convs to low (bf16-style) precision even on
+# CPU; parity tests against torch float32 oracles need full f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

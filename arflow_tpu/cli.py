@@ -1,0 +1,264 @@
+"""Command-line entry points (reference: train.py, basic_train.py,
+inference.py, evaluate_flo_files_sintel.py)."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import math
+import os
+import pprint
+
+import numpy as np
+
+from arflow_tpu.config import Config, load_config
+from arflow_tpu.utils.logger import init_logger
+
+
+def seed_everything(seed: int):
+    np.random.seed(seed)
+    import random
+
+    random.seed(seed)
+
+
+def build_loaders(cfg, log):
+    from arflow_tpu.data import DataLoader, get_dataset
+
+    train_set, valid_set = get_dataset(cfg, seed=cfg.seed)
+    valid_len = sum(len(s) for s in valid_set)
+    log.info(
+        "%d samples found, %d train samples and %d test samples",
+        valid_len + (len(train_set) if train_set else 0),
+        len(train_set) if train_set else 0,
+        valid_len,
+    )
+    train_loader = (
+        DataLoader(
+            train_set,
+            batch_size=cfg.train.batch_size,
+            num_workers=cfg.train.workers,
+            shuffle=True,
+            drop_last=True,
+            seed=cfg.seed,
+        )
+        if train_set
+        else None
+    )
+    valid_batch_size = cfg.train.get("valid_batch_size", 1)
+    valid_loader = [
+        DataLoader(
+            s,
+            batch_size=valid_batch_size,
+            num_workers=min(4, cfg.train.workers),
+            shuffle=False,
+        )
+        for s in valid_set
+    ]
+    return train_loader, valid_loader
+
+
+def train_main(cfg, log):
+    """basic_train.main equivalent (basic_train.py:10-46)."""
+    from arflow_tpu.losses import get_loss
+    from arflow_tpu.models import get_model
+    from arflow_tpu.training import get_trainer
+
+    seed_everything(cfg.seed)
+    train_loader, valid_loader = build_loaders(cfg, log)
+
+    if cfg.train.epoch_size == 0 or cfg.train.epoch_size < 0:
+        cfg.train.epoch_size = len(train_loader) if train_loader else 0
+    if train_loader:
+        cfg.train.epoch_size = min(cfg.train.epoch_size, len(train_loader))
+    valid_size = sum(len(l) for l in valid_loader)
+    if cfg.train.valid_size == 0:
+        cfg.train.valid_size = valid_size
+    cfg.train.valid_size = min(cfg.train.valid_size, valid_size)
+    cfg.train.seed = cfg.seed
+
+    model = get_model(cfg.model)
+    loss = get_loss(cfg.loss)
+    trainer = get_trainer(cfg.trainer)(
+        train_loader,
+        valid_loader,
+        model,
+        loss,
+        log,
+        cfg.save_root,
+        cfg.train,
+        model_cfg=cfg.model,
+        full_cfg=cfg,
+    )
+    trainer.train()
+    return trainer
+
+
+def train_cli(argv=None):
+    """train.py equivalent (train.py:12-51)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", default="configs/sintel_uflow.json")
+    parser.add_argument("-e", "--evaluate", action="store_true")
+    parser.add_argument("-m", "--model", default=None)
+    parser.add_argument("--n_gpu", type=int, default=None,
+                        help="kept for CLI parity; device count comes from JAX")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if args.evaluate:
+        cfg.train.update(
+            {
+                "batch_size": 16,
+                "epoch_num": 1,
+                "epoch_size": -1,
+                "valid_size": 0,
+                "workers": 1,
+                "valid_freq": 1,
+                "track_auc": True,
+            }
+        )
+    if args.model is not None:
+        cfg.train.pretrained_model = args.model
+
+    curr_time = datetime.datetime.now().strftime("%y%m%d%H%M%S")
+    cfg.save_root = os.path.join(
+        "./outputs/checkpoints", curr_time[:6], curr_time[6:]
+    )
+    os.makedirs(cfg.save_root, exist_ok=True)
+
+    log = init_logger(log_dir=cfg.save_root, filename=curr_time[6:] + ".log")
+    log.info("=> will save everything to %s", cfg.save_root)
+    log.info("=> configurations \n %s", pprint.pformat(cfg))
+    return train_main(cfg, log)
+
+
+def inference_main(cfg, log):
+    """inference.py equivalent: dump .flo flow + .npy entropy per sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from arflow_tpu.data import DataLoader, get_dataset
+    from arflow_tpu.models import get_model
+    from arflow_tpu.training.checkpoint import load_pretrained
+    from arflow_tpu.training.entropy import extract_uv_entropy
+    from arflow_tpu.utils.flow_io import write_flo
+    from arflow_tpu.utils.meters import AverageMeter
+    from arflow_tpu.utils.metrics import _resize_bilinear_np
+
+    _, valid_set = get_dataset(cfg, seed=cfg.get("seed", 0))
+    valid_batch_size = cfg.inference.get("valid_batch_size", 1)
+    loaders = [
+        DataLoader(s, batch_size=valid_batch_size,
+                   num_workers=min(4, cfg.inference.get("workers", 2)))
+        for s in valid_set
+    ]
+
+    model = get_model(cfg.model)
+    params = load_pretrained(cfg.inference.pretrained_model, cfg.model)
+    if isinstance(params, dict) and "params" in params:
+        variables = params
+    else:
+        variables = {"params": params}
+
+    has_entropy = "approx" in cfg.loss
+
+    @jax.jit
+    def forward(img1, img2):
+        res = model.apply(variables, img1, img2, with_bk=False)
+        flows = res["flows_fw"]
+        pred = flows[0][..., 0:2]
+        if has_entropy:
+            ent = extract_uv_entropy(flows, cfg.loss, res, jax.random.PRNGKey(0))
+        else:
+            ent = jnp.zeros_like(pred)
+        return pred, ent
+
+    batch_time = AverageMeter()
+    import time
+
+    for (i_set, loader), dataset_cfg in zip(enumerate(loaders), cfg.data):
+        for i_step, data in enumerate(loader):
+            end = time.time()
+            pred, ent = forward(
+                jnp.asarray(data["img1"]), jnp.asarray(data["img2"])
+            )
+            pred_np = np.asarray(pred)
+            ent_np = np.asarray(ent)
+
+            for pred_flow, pred_entropy, orgsize, rpath in zip(
+                pred_np, ent_np, data["img1_orgsize"], data["img1_rpath"]
+            ):
+                orgsize = np.asarray(orgsize).squeeze()
+                hh, ww = int(orgsize[0]), int(orgsize[1])
+                h, w = pred_flow.shape[:2]
+                pred_flow = pred_flow.copy()
+                pred_flow[:, :, 0] *= ww / w
+                pred_flow[:, :, 1] *= hh / h
+                pred_flow = _resize_bilinear_np(pred_flow, (hh, ww))
+                pred_entropy = pred_entropy.copy()
+                pred_entropy[:, :, 0] += -2 * math.log(w) + 2 * math.log(ww)
+                pred_entropy[:, :, 1] += -2 * math.log(h) + 2 * math.log(hh)
+                pred_entropy = _resize_bilinear_np(pred_entropy, (hh, ww))
+
+                out_root = dataset_cfg.out_root
+                flow_path = os.path.join(
+                    out_root, os.path.splitext(str(rpath))[0] + ".flo"
+                )
+                ent_path = os.path.join(
+                    out_root, os.path.splitext(str(rpath))[0] + ".npy"
+                )
+                os.makedirs(os.path.dirname(flow_path), exist_ok=True)
+                write_flo(flow_path, pred_flow)
+                np.save(ent_path, pred_entropy)
+
+            batch_time.update(time.time() - end)
+            log.info(
+                "Inference: %d[%d/%d] Time %s",
+                i_set, i_step, len(loader), batch_time,
+            )
+
+
+def inference_cli(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-m", "--model", default=None)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config)
+    if args.model is not None:
+        cfg.inference.pretrained_model = args.model
+    log = init_logger(log_dir=".", filename="inference.log")
+    log.info("=> configurations \n %s", pprint.pformat(cfg))
+    inference_main(cfg, log)
+
+
+def evaluate_flo_cli(argv=None):
+    """Offline EPE + sparsification AUC over dumped .flo/.npy files
+    (evaluate_flo_files_sintel.py equivalent)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pred_root", required=True)
+    parser.add_argument("--gt_root", required=True)
+    parser.add_argument("--sp_samples", type=int, default=25)
+    args = parser.parse_args(argv)
+
+    from pathlib import Path
+
+    from arflow_tpu.utils.flow_io import read_flo
+    from arflow_tpu.utils.metrics import evaluate_flow, evaluate_uncertainty
+
+    preds, gts, ents = [], [], []
+    for pred_path in sorted(Path(args.pred_root).rglob("*.flo")):
+        rel = pred_path.relative_to(args.pred_root)
+        gt_path = Path(args.gt_root) / rel
+        if not gt_path.is_file():
+            continue
+        preds.append(read_flo(str(pred_path)))
+        gts.append(read_flo(str(gt_path)))
+        ent_path = pred_path.with_suffix(".npy")
+        if ent_path.is_file():
+            ents.append(np.load(ent_path))
+    epe = evaluate_flow(gts, preds)
+    print(f"EPE: {epe[0]:.4f} over {len(preds)} files")
+    if ents and len(ents) == len(preds):
+        auc, _, _ = evaluate_uncertainty(gts, preds, ents, args.sp_samples)
+        print(f"AUC: {auc[0]:.4f} AUC_diff: {auc[1]:.4f}")

@@ -1,0 +1,175 @@
+"""Shared unsupervised-loss building blocks.
+
+- ``data_loss_no_penalty`` / ``smooth_loss_no_penalty``: the uflow-ELBO
+  helpers (losses/uflow_elbo_loss.py:18-96). They live here (not inside the
+  ELBO loss) so that MixtureWeightsNet can use them without a model->loss
+  dependency inversion (the reference imports loss helpers inside the model,
+  models/uflow_prob_model.py:8 — flagged in SURVEY.md §7.3).
+- ARFlow-era blocks: ``ternary_loss``, ``smooth_grad_1st/2nd``
+  (losses/loss_blocks.py:12-124).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from arflow_tpu.ops import (
+    census_loss_no_penalty,
+    compute_range_map,
+    census_transform,
+    downsample,
+    flow_to_warp,
+    image_grads,
+    mask_invalid,
+    resample,
+    ssim_loss,
+    upsample,
+)
+from arflow_tpu.ops.census import extract_patches, rgb_to_grayscale
+
+
+def data_loss_no_penalty(
+    im1_0,
+    im2_0,
+    flow12_2,
+    flow21_2,
+    occ_type: str,
+    data_loss,
+    mean12_2=None,
+    mean21_2=None,
+):
+    """Per-pixel data losses + weights before penalties
+    (losses/uflow_elbo_loss.py:18-78). All tensors NHWC; flows at 1/4 res.
+
+    Returns (pixel_loss_list, pixel_weight_list, occu_mask_2, valid_mask_0).
+    """
+    flow12_0 = upsample(flow12_2, is_flow=True, scale_factor=4.0)
+    warp12_0 = flow_to_warp(flow12_0)
+    im1_recons = resample(lax.stop_gradient(im2_0), warp12_0)
+
+    if occ_type == "mean":
+        mean12_0 = upsample(mean12_2, is_flow=True, scale_factor=4.0)
+        valid_mask_0 = mask_invalid(flow_to_warp(mean12_0))
+        occu_mask_2 = jnp.clip(compute_range_map(mean21_2), 0.0, 1.0)
+        occu_mask_0 = upsample(occu_mask_2, is_flow=False, scale_factor=4.0)
+        mask_0 = lax.stop_gradient(occu_mask_0 * valid_mask_0)
+    elif occ_type == "sample":
+        valid_mask_0 = mask_invalid(warp12_0)
+        occu_mask_2 = jnp.clip(compute_range_map(flow21_2), 0.0, 1.0)
+        occu_mask_0 = upsample(occu_mask_2, is_flow=False, scale_factor=4.0)
+        mask_0 = lax.stop_gradient(occu_mask_0 * valid_mask_0)
+    elif occ_type == "none":
+        valid_mask_0 = mask_invalid(warp12_0)
+        occu_mask_2 = None
+        mask_0 = lax.stop_gradient(valid_mask_0)
+    else:
+        raise NotImplementedError(f"Occlusion type {occ_type} not implemented!")
+
+    pixel_loss = []
+    pixel_weight = []
+    for loss_type in data_loss:
+        if loss_type == "census":
+            l, w = census_loss_no_penalty(im1_0, im1_recons, mask_0)
+        elif loss_type == "ssim":
+            l, w = ssim_loss(im1_0, im1_recons, mask_0)
+        else:
+            raise NotImplementedError(loss_type)
+        pixel_loss.append(l)
+        pixel_weight.append(w)
+
+    return pixel_loss, pixel_weight, occu_mask_2, valid_mask_0
+
+
+def smooth_loss_no_penalty(im1_0, flow12_2, edge_constant, edge_asymp):
+    """First-order flow gradients + edge-aware weights at 1/4 res
+    (losses/uflow_elbo_loss.py:81-96)."""
+    im1_2 = downsample(im1_0, is_flow=False, scale_factor=4.0)
+    im1_gx, im1_gy = image_grads(lax.stop_gradient(im1_2))
+    weights_x = edge_asymp + (1.0 - edge_asymp) * jnp.exp(
+        -jnp.mean(jnp.abs(edge_constant * im1_gx), axis=-1, keepdims=True)
+    )
+    weights_y = edge_asymp + (1.0 - edge_asymp) * jnp.exp(
+        -jnp.mean(jnp.abs(edge_constant * im1_gy), axis=-1, keepdims=True)
+    )
+    flow12_x, flow12_y = image_grads(flow12_2)
+    return flow12_x, weights_x / 2.0, flow12_y, weights_y / 2.0
+
+
+def edge_weights(image, edge_constant, edge_asymp=0.0, stride=1):
+    """exp edge-aware weights (losses/uflow_elbo_loss.py:88-90 pattern)."""
+    gx, gy = image_grads(lax.stop_gradient(image), stride=stride)
+    wx = edge_asymp + (1.0 - edge_asymp) * jnp.exp(
+        -jnp.mean(jnp.abs(edge_constant * gx), axis=-1, keepdims=True)
+    )
+    wy = edge_asymp + (1.0 - edge_asymp) * jnp.exp(
+        -jnp.mean(jnp.abs(edge_constant * gy), axis=-1, keepdims=True)
+    )
+    return wx, wy
+
+
+# ---------------------------------------------------------------------------
+# ARFlow-era blocks (losses/loss_blocks.py)
+# ---------------------------------------------------------------------------
+
+def ternary_loss(im, im_warp, max_distance: int = 1, sum_dist: bool = False):
+    """Census/ternary distance + valid mask (losses/loss_blocks.py:12-62).
+
+    Returns (dist, mask): dist (B,H,W,1), mask (B,H,W,1) zeroed on the border.
+    """
+    patch_size = 2 * max_distance + 1
+
+    def _transform(image):
+        intensities = rgb_to_grayscale(image) * 255.0
+        patches = extract_patches(intensities, patch_size)
+        transf = patches - intensities
+        return transf / jnp.sqrt(0.81 + jnp.square(transf))
+
+    t1 = _transform(im)
+    t2 = _transform(im_warp)
+    dist = jnp.square(t1 - t2)
+    dist_norm = dist / (0.1 + dist)
+    if sum_dist:
+        dist_mean = jnp.sum(dist_norm, axis=-1, keepdims=True)
+    else:
+        dist_mean = jnp.mean(dist_norm, axis=-1, keepdims=True)
+
+    b, h, w, _ = im.shape
+    pad = max_distance
+    inner = jnp.zeros((h, w, 1), im.dtype).at[pad : h - pad, pad : w - pad].set(1.0)
+    mask = jnp.broadcast_to(inner, (b, h, w, 1))
+    return dist_mean, mask
+
+
+def penalty_uflow(x):
+    return jnp.sqrt(jnp.square(x) + 0.001**2)
+
+
+def smooth_grad_1st(flo, image, alpha, penalty: str = "abs"):
+    """1st-order edge-aware smoothness (losses/loss_blocks.py:93-110)."""
+    img_dx, img_dy = image_grads(image)
+    weights_x = jnp.exp(-jnp.mean(jnp.abs(img_dx), axis=-1, keepdims=True) * alpha)
+    weights_y = jnp.exp(-jnp.mean(jnp.abs(img_dy), axis=-1, keepdims=True) * alpha)
+    dx, dy = image_grads(flo)
+    if penalty == "abs":
+        loss_x = weights_x * jnp.abs(dx) / 2.0
+        loss_y = weights_y * jnp.abs(dy) / 2.0
+    elif penalty == "uflow":
+        loss_x = weights_x * penalty_uflow(dx) / 2.0
+        loss_y = weights_y * penalty_uflow(dy) / 2.0
+    else:
+        raise NotImplementedError(penalty)
+    return jnp.mean(loss_x) / 2.0 + jnp.mean(loss_y) / 2.0
+
+
+def smooth_grad_2nd(flo, image, alpha, penalty: str = "abs"):
+    """2nd-order edge-aware smoothness (losses/loss_blocks.py:113-124)."""
+    img_dx, img_dy = image_grads(image)
+    weights_x = jnp.exp(-jnp.mean(jnp.abs(img_dx), axis=-1, keepdims=True) * alpha)
+    weights_y = jnp.exp(-jnp.mean(jnp.abs(img_dy), axis=-1, keepdims=True) * alpha)
+    dx, dy = image_grads(flo)
+    dx2, _ = image_grads(dx)
+    _, dy2 = image_grads(dy)
+    loss_x = weights_x[:, :, 1:, :] * jnp.abs(dx2)
+    loss_y = weights_y[:, 1:, :, :] * jnp.abs(dy2)
+    return jnp.mean(loss_x) / 2.0 + jnp.mean(loss_y) / 2.0

@@ -1,6 +1,149 @@
-"""Placeholder — implemented later this round."""
+"""PWC-Lite-UFlow hybrid: thin pyramid, per-level estimators, deconv context.
+
+Reference: models/pwclite_uflow.py:131-283. Channels [3,16,32,32,32,32]
+(3 convs per level, input rescaled to [-1,1]), per-level (non-shared)
+estimators fed deconvolved activations from the coarser level, joint feature
+normalization before correlation, whole-level dropout, configurable
+align_corners / warp padding; context refinement at the output level; two 2x
+upsamples appended. Output finest-first: [full, 1/2, 1/4, 1/8, 1/16, 1/32].
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from arflow_tpu.models.layers import ConvTranspose2dTorch, leaky_relu
+from arflow_tpu.models.pwclite import (
+    ContextNetwork,
+    FlowEstimatorDense,
+    FlowEstimatorReduce,
+    _conv,
+    _ALPHA,
+)
+from arflow_tpu.ops import compute_cost_volume, flow_warp, resize_bilinear
 
 
-class PWCLiteUflow:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("PWCLiteUflow lands later this round")
+def _normalize_features_joint(features_list):
+    """Joint standardization over concatenated channels and pixels per sample
+    (models/pwclite_uflow.py:32-40; unbiased variance like torch.var)."""
+    features = jnp.concatenate(features_list, axis=-1)
+    mean = jnp.mean(features, axis=(1, 2, 3), keepdims=True)
+    n = features.shape[1] * features.shape[2] * features.shape[3]
+    var = jnp.sum(jnp.square(features - mean), axis=(1, 2, 3), keepdims=True) / max(
+        n - 1, 1
+    )
+    std = jnp.sqrt(var + 1e-16)
+    return [(f - mean) / std for f in features_list]
+
+
+class ThinFeatureExtractor(nn.Module):
+    """models/pwclite_uflow.py:42-66: 3 convs per level, [-1,1] rescale."""
+
+    num_chs = (3, 16, 32, 32, 32, 32)
+
+    @nn.compact
+    def __call__(self, x):
+        x = x * 2.0 - 1.0
+        pyramid = []
+        for level, ch_out in enumerate(self.num_chs[1:]):
+            x = leaky_relu(_conv(ch_out, stride=2, name=f"conv_l{level}_0")(x), _ALPHA)
+            x = leaky_relu(_conv(ch_out, name=f"conv_l{level}_1")(x), _ALPHA)
+            x = leaky_relu(_conv(ch_out, name=f"conv_l{level}_2")(x), _ALPHA)
+            pyramid.append(x)
+        return pyramid[::-1]
+
+
+class PWCLiteUflow(nn.Module):
+    n_frames: int = 2
+    reduce_dense: bool = True
+    level_dropout: float = 0.0
+    feature_norm: bool = False
+    align_corners: bool = True
+    warp_pad: str = "zeros"
+    search_range: int = 4
+    output_level: int = 3  # top-to-bottom index; stops at 1/4 resolution
+    deconv_chs: int = 32
+
+    def setup(self):
+        self.feature_extractor = ThinFeatureExtractor(name="feature_pyramid")
+        estimator_cls = FlowEstimatorReduce if self.reduce_dense else FlowEstimatorDense
+        self.estimators = [
+            estimator_cls(ch_out=2, name=f"flow_estimator_{l}")
+            for l in range(self.output_level + 1)
+        ]
+        self.context_network = ContextNetwork(ch_out=2, name="context_network")
+        self.deconvs = [
+            ConvTranspose2dTorch(
+                self.deconv_chs, kernel_size=4, stride=2, padding=1, name=f"deconv_{l}"
+            )
+            for l in range(self.output_level)
+        ]
+
+    def _dropout(self, tensors, train):
+        if not train or self.level_dropout <= 0:
+            return tensors
+        rng = self.make_rng("dropout")
+        keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
+            tensors[0].dtype
+        )
+        return [t * keep for t in tensors]
+
+    def forward_2_frames(self, p1, p2, train=False):
+        b, h, w, _ = p1[0].shape
+        flow = jnp.zeros((b, h, w, 2), p1[0].dtype)
+        flows = []
+        act = None
+        for l in range(self.output_level + 1):
+            x1, x2 = p1[l], p2[l]
+            if l == 0:
+                x2_warp = x2
+            else:
+                flow = resize_bilinear(
+                    flow * 2.0,
+                    (flow.shape[1] * 2, flow.shape[2] * 2),
+                    align_corners=self.align_corners,
+                )
+                x2_warp = flow_warp(
+                    x2, flow, align_corners=self.align_corners, pad=self.warp_pad
+                )
+            if self.feature_norm:
+                x1, x2_warp = _normalize_features_joint([x1, x2_warp])
+            corr = leaky_relu(
+                compute_cost_volume(x1, x2_warp, self.search_range), _ALPHA
+            )
+            if l == 0:
+                act, flow_res = self.estimators[l](
+                    jnp.concatenate([corr, x1, flow], -1)
+                )
+            else:
+                act_deconv = self.deconvs[l - 1](act)
+                act, flow_res = self.estimators[l](
+                    jnp.concatenate([corr, x1, flow, act_deconv], -1)
+                )
+            flow_res, act = self._dropout([flow_res, act], train)
+            flow = flow + flow_res
+            flows.append(flow)
+
+        flow_fine = self.context_network(jnp.concatenate([act, flow], -1))
+        (flow_fine,) = self._dropout([flow_fine], train)
+        flow = flow + flow_fine
+        flows[-1] = flow
+
+        for _ in range(2):
+            flow = resize_bilinear(
+                flow * 2.0,
+                (flow.shape[1] * 2, flow.shape[2] * 2),
+                align_corners=self.align_corners,
+            )
+            flows.append(flow)
+        return flows[::-1]
+
+    def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
+        p1 = self.feature_extractor(img1)
+        p2 = self.feature_extractor(img2)
+        res = {"flows_fw": self.forward_2_frames(p1, p2, train)}
+        if with_bk:
+            res["flows_bw"] = self.forward_2_frames(p2, p1, train)
+        return res

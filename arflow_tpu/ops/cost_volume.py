@@ -26,8 +26,11 @@ def compute_cost_volume_reference(
     """(B,H,W,C) x (B,H,W,C) -> (B,H,W,(2*md+1)**2), pure-JAX reference."""
     b, h, w, c = features1.shape
     md = max_displacement
-    if md <= 0 or md >= h:
-        raise ValueError(f"Max displacement of {md} is too large.")
+    if md <= 0:
+        raise ValueError(f"Max displacement of {md} is too small.")
+    # NOTE: unlike uflow_model.py:71-72 we don't reject md >= height — the
+    # padded shifted-product formulation is well-defined for any size (the
+    # PWC-Lite correlation, models/correlation_native.py, has no such check).
     num_shifts = 2 * md + 1
     f2_padded = jnp.pad(features2, ((0, 0), (md, md), (md, md), (0, 0)))
     costs = []

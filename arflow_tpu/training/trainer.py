@@ -1,0 +1,205 @@
+"""Base training framework.
+
+Reference: trainer/base_trainer.py:9-158 + the epoch loops of
+trainer/uflow_trainer.py / uflow_elbo_trainer.py. TPU-native redesign:
+
+- ONE jitted train step: model forward (fw+bw), loss, grad, optimizer update
+  fused into a single XLA program with donated state (SURVEY.md §7.1).
+- Data parallelism: 1-D device mesh, batch-sharded inputs, replicated params
+  (replaces torch DataParallel, base_trainer.py:75).
+- Explicit PRNG threading for level dropout and posterior sampling.
+- Lazy init: parameters are initialized (jitted) from the first batch's
+  shapes, or imported from a checkpoint (name-based; never positional).
+- Training batches with a remainder that doesn't divide the mesh are dropped
+  (static shapes keep XLA from recompiling); validation runs unsharded.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from arflow_tpu.parallel import make_mesh, replicate, shard_batch
+from arflow_tpu.training.checkpoint import load_pretrained, save_checkpoint
+from arflow_tpu.training.optim import create_optimizer
+from arflow_tpu.utils.meters import AverageMeter
+from arflow_tpu.utils.summary import SummaryWriter
+
+
+class BaseTrainer:
+    def __init__(self, train_loader, valid_loader, model, loss_func, _log,
+                 save_root, cfg, model_cfg=None, full_cfg=None, mesh=None):
+        self._log = _log
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.full_cfg = full_cfg
+        self.save_root = str(save_root)
+        self.summary_writer = SummaryWriter(self.save_root)
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.model = model
+        self.loss_func = loss_func
+        self.mesh = mesh or make_mesh()
+        self.n_devices = self.mesh.devices.size
+
+        self.best_error = np.inf
+        self.i_epoch = 0
+        self.i_iter = 0
+        self.state = None  # lazy-initialized from the first batch
+        self.tx = None
+        self._train_step = None
+        self._has_batch_stats = False
+
+    # -- init ---------------------------------------------------------------
+
+    def _model_inputs_from_batch(self, batch):
+        """Return the positional model inputs used for initialization."""
+        raise NotImplementedError
+
+    def _ensure_init(self, batch):
+        if self.state is not None:
+            return
+        inputs = self._model_inputs_from_batch(batch)
+        inputs = [jnp.asarray(x) for x in inputs]
+        rngs = {
+            "params": jax.random.PRNGKey(self.cfg.get("seed", 0)),
+            "dropout": jax.random.PRNGKey(self.cfg.get("seed", 0) + 1),
+        }
+        init_fn = jax.jit(
+            lambda r: self.model.init(r, *inputs, with_bk=True, train=True)
+        )
+        variables = init_fn(rngs)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        self._has_batch_stats = batch_stats is not None
+
+        if self.cfg.get("pretrained_model"):
+            self._log.info(
+                "=> using pre-trained weights %s.", self.cfg.pretrained_model
+            )
+            loaded = load_pretrained(self.cfg.pretrained_model, self.model_cfg)
+            if isinstance(loaded, dict) and "params" in loaded:
+                params = loaded["params"]
+                batch_stats = loaded.get("batch_stats", batch_stats)
+            else:
+                params = loaded
+        else:
+            self._log.info("=> Train from scratch.")
+
+        steps_per_epoch = max(
+            1, min(self.cfg.epoch_size, len(self.train_loader))
+        )
+        self.tx = create_optimizer(self.cfg, params, steps_per_epoch)
+        opt_state = self.tx.init(params)
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if self._has_batch_stats:
+            state["batch_stats"] = batch_stats
+        self.state = replicate(self.mesh, state)
+        self._train_step = self._build_train_step()
+
+    def _build_train_step(self):
+        raise NotImplementedError
+
+    def _run_one_epoch(self):
+        raise NotImplementedError
+
+    def _validate_with_gt(self):
+        raise NotImplementedError
+
+    # -- main loop (base_trainer.py:42-55) ------------------------------------
+
+    def train(self):
+        for _ in range(self.cfg.epoch_num):
+            self._run_one_epoch()
+            if self.i_epoch % self.cfg.valid_freq == 0 and self.valid_loader:
+                errors, error_names = self._validate_with_gt()
+                valid_res = " ".join(
+                    "{}: {:.2f}".format(*t) for t in zip(error_names, errors)
+                )
+                self._log.info(" * Epoch %d %s", self.i_epoch, valid_res)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _shard(self, batch):
+        return shard_batch(self.mesh, batch)
+
+    def _trim_batch(self, arrays):
+        """Drop the remainder so the batch divides the mesh."""
+        b = arrays[0].shape[0]
+        usable = (b // self.n_devices) * self.n_devices
+        if usable == 0 or usable == b:
+            return arrays if usable else None
+        return [a[:usable] for a in arrays]
+
+    def _step_rng(self):
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.get("seed", 0) + 7919), self.i_iter
+        )
+
+    def save_model(self, error, name):
+        is_best = error < self.best_error
+        if is_best:
+            self.best_error = error
+        state = {
+            "epoch": np.asarray(self.i_epoch),
+            "params": jax.device_get(self.state["params"]),
+            "opt_state": jax.device_get(self.state["opt_state"]),
+        }
+        if self._has_batch_stats:
+            state["batch_stats"] = jax.device_get(self.state["batch_stats"])
+        save_checkpoint(self.save_root, state, name, is_best)
+
+    def _maybe_stage1(self):
+        """Scheduled loss-config switch (trainer/uflow_trainer.py:26-28)."""
+        if self.full_cfg is None or "stage1" not in self.full_cfg:
+            return
+        if self.i_epoch == self.full_cfg.stage1.epoch:
+            self.loss_func.cfg.update(self.full_cfg.stage1.loss)
+            self._train_step = self._build_train_step()  # loss cfg is static
+
+    def _log_train_step(self, i_step, key_meters, key_meter_names,
+                        am_batch_time, am_data_time):
+        if self.i_iter % self.cfg.record_freq == 0:
+            for v, name in zip(key_meters.val, key_meter_names):
+                self.summary_writer.add_scalar("Train_" + name, v, self.i_iter)
+        if self.i_iter % self.cfg.print_freq == 0:
+            self._log.info(
+                "%d:%04d/%04d Time %s Data %s Info %s",
+                self.i_epoch, i_step, self.cfg.epoch_size,
+                am_batch_time, am_data_time, key_meters,
+            )
+
+
+def apply_updates_step(tx, state, grads, new_batch_stats=None):
+    """Shared optimizer-update tail for train steps."""
+    updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    new_state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": state["step"] + 1,
+    }
+    if new_batch_stats is not None:
+        new_state["batch_stats"] = new_batch_stats
+    elif "batch_stats" in state:
+        new_state["batch_stats"] = state["batch_stats"]
+    return new_state
+
+
+class Timer:
+    def __init__(self):
+        self.end = time.time()
+
+    def lap(self):
+        now = time.time()
+        dt = now - self.end
+        self.end = now
+        return dt

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: UFlow PWCFlow inference throughput on one TPU chip.
+
+Measures flow maps/sec for 2-frame forward inference at 384x640 (the
+reference README's recommended KITTI/Cityscapes resolution,
+/root/reference/README.md:50), batched to keep the chip busy.
+
+Baseline (vs_baseline denominator): the reference PyTorch PWCFlow
+(models/uflow_model.py, correlation_native path — the only runnable path
+without a CUDA-9 toolchain) measured on this machine's CPU:
+1.195 flow maps/sec @ 384x640 batch 1 (see BASELINE.md). The BASELINE.json
+north star is >=5x this.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CPU_MAPS_PER_SEC = 1.195  # measured 2026-08-16, torch 2.13 CPU
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/arflow_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from arflow_tpu.models.uflow import PWCFlow
+
+    model = PWCFlow(level_dropout=0.0, feature_norm=True)
+    h, w = 384, 640
+    batch = 8
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+
+    init_fn = jax.jit(lambda r: model.init(r, img1, img2, with_bk=False))
+    variables = init_fn(jax.random.PRNGKey(0))
+
+    # Timing methodology: on the axon-tunneled TPU, block_until_ready does not
+    # wait for remote execution; a scalar fetch does. Device compute time is
+    # estimated as (forward+fetch) - (trivial fetch RTT), medians over 10 reps.
+    @jax.jit
+    def trivial(a):
+        return jnp.sum(a)
+
+    @jax.jit
+    def forward_reduced(params, a, b):
+        out = model.apply({"params": params}, a, b, with_bk=False)["flows_fw"][0]
+        return jnp.sum(out)
+
+    float(trivial(img1))  # compile
+    float(forward_reduced(variables["params"], img1, img2))  # compile
+
+    def timed(f, *a, reps=10):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(f(*a))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    rtt = timed(trivial, img1)
+    fwd = timed(forward_reduced, variables["params"], img1, img2)
+    dt = max(fwd - rtt, 1e-6)
+    maps_per_sec = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "uflow_inference_384x640_maps_per_sec",
+                "value": round(maps_per_sec, 3),
+                "unit": "flow_maps/s",
+                "vs_baseline": round(maps_per_sec / REFERENCE_CPU_MAPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,10 @@ guarantees by importing conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend with 8 virtual devices (overriding any preset
+# JAX_PLATFORMS, e.g. the axon TPU tunnel). Set ARFLOW_TEST_TPU=1 to run the
+# suite against the real accelerator instead (single device; the sharded
+# e2e tests will be skipped).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +23,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+if not os.environ.get("ARFLOW_TEST_TPU"):
+    # The env var route is latched by the preinstalled axon plugin; the config
+    # update reliably selects the CPU backend.
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)  # float64 oracles in parity tests
+# Persistent compilation cache: repeated test runs skip XLA recompiles
+# (minutes each on this single-core host).
+jax.config.update("jax_compilation_cache_dir", "/tmp/arflow_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # This JAX build defaults matmuls/convs to low (bf16-style) precision even on
 # CPU; parity tests against torch float32 oracles need full f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")

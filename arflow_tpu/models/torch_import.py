@@ -181,12 +181,16 @@ def _import_bn(sd, torch_name):
 def import_resnet(sd, prefix="resnet", layers=(2, 2, 2, 2)):
     """Import the MixtureWeightsNet ResNet (uflow_prob_model.py:622-690).
     Returns (params, batch_stats)."""
+    if prefix:
+        plen = len(prefix) + 1
+        sd = {k[plen:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+    prefix = None
     params, stats = {}, {}
-    params["conv1"] = {"kernel": conv_kernel(sd[f"{prefix}.conv1.0.weight"])}
-    params["bn1"], stats["bn1"] = _import_bn(sd, f"{prefix}.conv1.1")
+    params["conv1"] = {"kernel": conv_kernel(sd["conv1.0.weight"])}
+    params["bn1"], stats["bn1"] = _import_bn(sd, "conv1.1")
     for stage, blocks in enumerate(layers):
         for blk in range(blocks):
-            tp = f"{prefix}.layer{stage}.{blk}"
+            tp = f"layer{stage}.{blk}"
             name = f"layer{stage}_block{blk}"
             p, s = {}, {}
             p["conv1"] = {"kernel": conv_kernel(sd[f"{tp}.conv1.0.weight"])}
@@ -201,8 +205,8 @@ def import_resnet(sd, prefix="resnet", layers=(2, 2, 2, 2)):
             params[name] = p
             stats[name] = s
     params["fc"] = {
-        "kernel": _np(sd[f"{prefix}.fc.weight"]).T,
-        "bias": _np(sd[f"{prefix}.fc.bias"]),
+        "kernel": _np(sd["fc.weight"]).T,
+        "bias": _np(sd["fc.bias"]),
     }
     return params, stats
 

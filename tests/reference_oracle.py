@@ -26,6 +26,60 @@ def add_reference_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _install_easydict_shim()
+    # The reference's top-level dirs are PEP-420 namespace packages; installed
+    # regular packages with the same name (e.g. HuggingFace 'datasets') win
+    # resolution. Pin explicit package shims at the reference paths.
+    import os
+
+    for pkg in ("datasets", "trainer", "transforms", "models", "losses", "utils"):
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [os.path.join(REFERENCE_ROOT, pkg)]
+            sys.modules[pkg] = mod
+    # path.py isn't installed; a pathlib.Path subclass covers what the
+    # reference uses at import time (the datasets aren't exercised in tests).
+    if "path" not in sys.modules:
+        try:
+            import path  # noqa: F401
+        except ImportError:
+            import pathlib
+
+            pm = types.ModuleType("path")
+
+            class _Path(type(pathlib.Path())):
+                def files(self, pattern="*"):
+                    return sorted(p for p in self.glob(pattern) if p.is_file())
+
+                def dirs(self):
+                    return sorted(p for p in self.iterdir() if p.is_dir())
+
+                def makedirs_p(self):
+                    self.mkdir(parents=True, exist_ok=True)
+
+            pm.Path = _Path
+            sys.modules["path"] = pm
+    # torchvision isn't installed; stub the symbols the reference touches.
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tvt = types.ModuleType("torchvision.transforms")
+
+            class _Compose:
+                def __init__(self, ts):
+                    self.ts = ts
+
+                def __call__(self, x):
+                    for t in self.ts:
+                        x = t(x)
+                    return x
+
+            tvt.Compose = _Compose
+            tvt.ColorJitter = lambda **kw: (lambda x: x)
+            tv.transforms = tvt
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tvt
 
 
 def import_reference(name: str):

@@ -19,6 +19,15 @@ from arflow_tpu.models.pwclite_uflow import PWCLiteUflow  # noqa: F401
 from arflow_tpu.models.uflow_prob import PWCProbFlow, ComponentNet  # noqa: F401
 
 
+def _normalize_out_channels(oc):
+    """Accept both the [L, M, N] group list and the stale int schema used by
+    older configs (configs/chairs_uflow_elbo_gmm.json: "out_channels": 4 means
+    2 flow + 2 log-diag channels; the reference would crash on it)."""
+    if isinstance(oc, int):
+        return (2, oc - 2, 0)
+    return tuple(oc)
+
+
 def get_model(cfg):
     """Model factory: cfg.type -> linen module instance."""
     if cfg.type == "uflow":
@@ -30,7 +39,7 @@ def get_model(cfg):
         return PWCProbFlow(
             level_dropout=cfg.get("level_dropout", 0.0),
             feature_norm=cfg.get("feature_norm", True),
-            out_channels=tuple(cfg.out_channels),
+            out_channels=_normalize_out_channels(cfg.out_channels),
             inv_cov=cfg.get("inv_cov", False),
             n_pyramids=cfg.get("n_pyramids", 1),
             mixture_weights=cfg.get("mixture_weights", False),
@@ -39,7 +48,7 @@ def get_model(cfg):
         return ComponentNet(
             level_dropout=cfg.get("level_dropout", 0.0),
             feature_norm=cfg.get("feature_norm", True),
-            out_channels=tuple(cfg.out_channels),
+            out_channels=_normalize_out_channels(cfg.out_channels),
             inv_cov=cfg.get("inv_cov", False),
             n_pyramids=cfg.get("n_pyramids", 1),
             mixture_weights=cfg.get("mixture_weights", False),

@@ -294,3 +294,120 @@ def inverse_diagonal(a, b, c, d=None, chunk: int = 256):
     _, out = lax.scan(solve_chunk, None, eye)
     out = jnp.moveaxis(out, 0, 1).reshape(bsz, padded, ch)[:, :p, :]
     return out.reshape(bsz, m, n, ch)
+
+
+# ---------------------------------------------------------------------------
+# Natural-gradient identities and condition estimation
+# (utils/triag_solve.py:268-398; unused-but-present machinery in the
+# reference, kept for capability parity)
+# ---------------------------------------------------------------------------
+
+def _pad3(x, spec):
+    return jnp.pad(x, spec)
+
+
+def natural_gradient(ga, gb, gc, ta, tb, tc):
+    """Natural gradient wrt the 3-band triangular Cholesky factor T of a
+    precision matrix, given Euclidean gradients G (utils/triag_solve.py:342-357).
+
+    All args NHWC with bands A (B,M,N,C), B left (B,M,N-1,C), C above
+    (B,M-1,N,C). Returns (q_ll, q_l1l, q_lNl) with the same band shapes.
+    """
+    h_ll = (
+        ta * ga
+        + _pad_nhwc(tb * gb, right=1)
+        + _pad_nhwc(tc * gc, bottom=1)
+    ) / 2.0
+    h_l1l = ta[:, :, 1:, :] * gb
+    h_lnl = ta[:, 1:, :, :] * gc
+    h_ln1l = tb[:, 1:, :, :] * gc[:, :, 1:, :]
+
+    q_ll = ta * h_ll
+    q_l1l = ta[:, :, 1:, :] * h_l1l + tb * h_ll[:, :, :-1, :]
+    q_lnl = (
+        ta[:, 1:, :, :] * h_lnl
+        + _pad_nhwc(tb[:, 1:, :, :] * h_ln1l, left=1)
+        + tc * h_ll[:, :-1, :, :]
+    )
+    return q_ll, q_l1l, q_lnl
+
+
+@jax.custom_vjp
+def natural_gradient_identity_t(a, b, c, x):
+    """Identity whose backward applies the natural-gradient transform for the
+    precision parametrization (utils/triag_solve.py:359-377): the mean grad is
+    solved through L then L^T; the band grads go through natural_gradient."""
+    return a, b, c, x
+
+
+def _ngt_fwd(a, b, c, x):
+    return (a, b, c, x), (a, b, c)
+
+
+def _ngt_bwd(res, grads):
+    a, b, c = res
+    da, db, dc, dx = grads
+    zeros_d = jnp.zeros(
+        (a.shape[0], max(a.shape[1] - 1, 0), max(a.shape[2] - 1, 0), a.shape[3]),
+        a.dtype,
+    )
+    dx_n = _forward_substitution_impl(a, b, c, zeros_d, dx)
+    dx_n = _backward_substitution_impl(a, b, c, zeros_d, dx_n)
+    da_n, db_n, dc_n = natural_gradient(da, db, dc, a, b, c)
+    return da_n, db_n, dc_n, dx_n
+
+
+natural_gradient_identity_t.defvjp(_ngt_fwd, _ngt_bwd)
+
+
+@jax.custom_vjp
+def natural_gradient_identity_c(a, b, c, x):
+    """Covariance-parametrization variant (utils/triag_solve.py:380-398):
+    the mean grad goes through L^T then L (banded products, no solves)."""
+    return a, b, c, x
+
+
+def _ngc_fwd(a, b, c, x):
+    return (a, b, c, x), (a, b, c)
+
+
+def _ngc_bwd(res, grads):
+    a, b, c = res
+    da, db, dc, dx = grads
+    zeros_d_b = jnp.zeros(
+        (a.shape[0], max(a.shape[1] - 1, 0), max(a.shape[2] - 1, 0), a.shape[3]),
+        a.dtype,
+    )
+    dx_n = matrix_vector_product_T(a, b, c, zeros_d_b, dx)
+    dx_n = matrix_vector_product(a, b, c, zeros_d_b, dx_n)
+    da_n, db_n, dc_n = natural_gradient(da, db, dc, a, b, c)
+    return da_n, db_n, dc_n, dx_n
+
+
+natural_gradient_identity_c.defvjp(_ngc_fwd, _ngc_bwd)
+
+
+def inverse_l1norm(a, b, c, n_iter: int = 100):
+    """Approximate ||L^{-1}||_1 via Higham's algorithm 5.1
+    (utils/triag_solve.py:268-307). a: (M,N); b: (M,N-1); c: (M-1,N).
+
+    Eval-only diagnostic (the reference used it as an exploding-posterior
+    detector); implemented as a host-side loop of device solves.
+    """
+    m, n = a.shape
+    a4 = a[None, :, :, None]
+    b4 = b[None, :, :, None]
+    c4 = c[None, :, :, None]
+    d4 = jnp.zeros((1, m - 1, n - 1, 1), a.dtype)
+
+    x = jnp.ones((m, n), a.dtype) / (m * n)
+    for _ in range(n_iter):
+        y = forward_substitution(a4, b4, c4, d4, x[None, :, :, None])[0, :, :, 0]
+        xi = jnp.where(y < 0, -1.0, 1.0).astype(a.dtype)
+        z = backward_substitution(a4, b4, c4, d4, xi[None, :, :, None])[0, :, :, 0]
+        abs_z = jnp.abs(z)
+        flat_idx = int(jnp.argmax(abs_z))
+        if float(jnp.max(abs_z)) <= float(jnp.sum(z * x)):
+            return float(jnp.sum(jnp.abs(y)))
+        x = jnp.zeros((m, n), a.dtype).at[flat_idx // n, flat_idx % n].set(1.0)
+    return float("inf")

@@ -161,3 +161,45 @@ def test_uflow_elbo_trainer_e2e(tmp_path, rng):
     trainer = run_trainer(cfg, tmp_path, rng)
     assert trainer.i_iter >= 2
     assert trainer.best_error < np.inf
+
+
+def test_uflow_elbo_sparse_trainer_e2e(tmp_path, rng):
+    """Sparse-triangular posterior: exercises matrix_vector_product_general
+    inside the jitted train step (configs/chairs_uflow_elbo_nondiag.json)."""
+    cov_supp = 1
+    n_off = (cov_supp + 1) ** 2 - 1
+    cfg = make_cfg(
+        "uflow_elbo",
+        loss_overrides={
+            "type": "uflow_elbo",
+            "edge_asymp": 0.01,
+            "penalty_smooth": "charbonnier",
+            "closed_form_smooth": False,
+            "data_loss": ["census"],
+            "data_weight": [1.0],
+            "data_penalty": ["abs_robust_loss"],
+            "w_entropy": 0.1,
+            "w_oof": 0.0,
+            "w_occ": 0.0,
+            "approx": "sparse",
+            "cov_supp": cov_supp,
+            "n_components": 1,
+            "inv_cov": False,
+            "approx_entropy": False,
+            "occ_type": "sample",
+            "n_samples": 2,
+            "offdiag_reg": 0.1,
+            "natural_grad": False,
+            "isotropic_smooth": False,
+        },
+        model_overrides={
+            "type": "uflow_prob",
+            "out_channels": [2, 2, 2 * n_off],
+            "inv_cov": False,
+            "n_pyramids": 1,
+            "mixture_weights": False,
+        },
+    )
+    cfg.train.clip = 1.0  # exercise gradient clipping in the optax chain
+    trainer = run_trainer(cfg, tmp_path, rng)
+    assert trainer.i_iter >= 2

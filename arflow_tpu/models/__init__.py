@@ -19,6 +19,18 @@ from arflow_tpu.models.pwclite_uflow import PWCLiteUflow  # noqa: F401
 from arflow_tpu.models.uflow_prob import PWCProbFlow, ComponentNet  # noqa: F401
 
 
+def _parse_dtype(name):
+    """Model 'dtype' config: None/'float32' -> f32 math; 'bfloat16' -> bf16
+    compute with f32 params and f32 outputs (TPU mixed precision)."""
+    if name in (None, "float32", "f32"):
+        return None
+    import jax.numpy as jnp
+
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise NotImplementedError(f"model dtype {name}")
+
+
 def _normalize_out_channels(oc):
     """Accept both the [L, M, N] group list and the stale int schema used by
     older configs (configs/chairs_uflow_elbo_gmm.json: "out_channels": 4 means
@@ -34,6 +46,7 @@ def get_model(cfg):
         return PWCFlow(
             level_dropout=cfg.get("level_dropout", 0.0),
             feature_norm=cfg.get("feature_norm", True),
+            dtype=_parse_dtype(cfg.get("dtype")),
         )
     if cfg.type == "uflow_prob":
         return PWCProbFlow(

@@ -29,7 +29,9 @@ def conv2d(
     name: str | None = None,
     kernel_init: Callable = xavier_uniform,
     use_bias: bool = True,
+    dtype=None,
 ) -> nn.Conv:
+    """dtype: computation dtype (e.g. jnp.bfloat16); params stay float32."""
     pad = ((kernel_size - 1) * dilation) // 2
     return nn.Conv(
         features=features,
@@ -39,6 +41,7 @@ def conv2d(
         kernel_dilation=(dilation, dilation),
         use_bias=use_bias,
         kernel_init=kernel_init,
+        dtype=dtype,
         name=name,
     )
 
@@ -62,14 +65,19 @@ class ConvTranspose2dTorch(nn.Module):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = xavier_uniform
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
         in_features = x.shape[-1]
         kernel = self.param(
-            "kernel", self.kernel_init, (k, k, in_features, self.features), x.dtype
+            "kernel", self.kernel_init, (k, k, in_features, self.features),
+            jnp.float32,
         )
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            x = x.astype(self.dtype)
         pad = k - 1 - p
         y = lax.conv_general_dilated(
             x,
@@ -81,8 +89,10 @@ class ConvTranspose2dTorch(nn.Module):
         )
         if self.use_bias:
             bias = self.param(
-                "bias", jax.nn.initializers.zeros, (self.features,), x.dtype
+                "bias", jax.nn.initializers.zeros, (self.features,), jnp.float32
             )
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
             y = y + bias
         return y
 

@@ -40,9 +40,12 @@ class PWCFeaturePyramid(nn.Module):
 
     filters: Sequence[tuple] = ((3, 32), (3, 32), (3, 32), (3, 32), (3, 32))
     leaky_relu_alpha: float = _LEAKY_ALPHA
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = x * 2.0 - 1.0
         features = []
         for level, (num_layers, num_filters) in enumerate(self.filters):
@@ -54,6 +57,7 @@ class PWCFeaturePyramid(nn.Module):
                     stride=stride,
                     name=f"conv_l{level}_{i}",
                     kernel_init=xavier_uniform,
+                    dtype=self.dtype,
                 )(x)
                 x = leaky_relu(x, self.leaky_relu_alpha)
             features.append(x)
@@ -70,6 +74,7 @@ class PWCFlow(nn.Module):
     max_displacement: int = 4
     accumulate_flow: bool = True
     use_feature_warp: bool = True
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
     flow_decoder_filters: Sequence[int] = (128, 128, 96, 64, 32)
     refinement_filters: Sequence[tuple] = (
         (128, 1),
@@ -81,7 +86,9 @@ class PWCFlow(nn.Module):
     )
 
     def setup(self):
-        self.feature_pyramid = PWCFeaturePyramid(name="feature_pyramid")
+        self.feature_pyramid = PWCFeaturePyramid(
+            name="feature_pyramid", dtype=self.dtype
+        )
 
         # Per-level dense-net flow decoders (uflow_model.py:288-323); levels
         # 1..num_levels-1 (level 0 never estimates flow).
@@ -90,10 +97,12 @@ class PWCFlow(nn.Module):
             convs = []
             for j, c in enumerate(self.flow_decoder_filters):
                 convs.append(
-                    conv2d(c, kernel_size=3, name=f"flow_l{level}_c{j}")
+                    conv2d(c, kernel_size=3, name=f"flow_l{level}_c{j}",
+                           dtype=self.dtype)
                 )
             convs.append(
-                conv2d(2, kernel_size=3, name=f"flow_l{level}_out")
+                conv2d(2, kernel_size=3, name=f"flow_l{level}_out",
+                       dtype=self.dtype)
             )
             flow_layers[level] = convs
         self._flow_layers = flow_layers
@@ -105,6 +114,7 @@ class PWCFlow(nn.Module):
                 kernel_size=4,
                 stride=2,
                 padding=1,
+                dtype=self.dtype,
                 name=f"context_up_l{level}",
             )
             for level in range(1, self.num_levels)
@@ -113,8 +123,11 @@ class PWCFlow(nn.Module):
         # Dilated refinement model (uflow_model.py:325-348).
         refine = []
         for j, (c, d) in enumerate(self.refinement_filters):
-            refine.append(conv2d(c, kernel_size=3, dilation=d, name=f"refine_{j}"))
-        refine.append(conv2d(2, kernel_size=3, name="refine_out"))
+            refine.append(
+                conv2d(c, kernel_size=3, dilation=d, name=f"refine_{j}",
+                       dtype=self.dtype)
+            )
+        refine.append(conv2d(2, kernel_size=3, name="refine_out", dtype=self.dtype))
         self._refine_model = refine
 
     def _maybe_level_dropout(self, tensors, train):
@@ -193,6 +206,8 @@ class PWCFlow(nn.Module):
         flows[0] = flow + refinement
         flows.insert(0, upsample(flows[0], is_flow=True))
         flows.insert(0, upsample(flows[0], is_flow=True))
+        if self.dtype is not None:
+            flows = [f.astype(jnp.float32) for f in flows]
         return flows
 
     def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):

@@ -130,9 +130,9 @@ def fwhm_scale(pi, mu, beta, reference_fwhm: float):
     from scipy.optimize import root_scalar
 
     def func(a):
-        return (
-            gaussian_mixture(np.array([reference_fwhm / 2]), pi, mu, a * beta)
-            - gaussian_mixture(np.array([0.0]), pi, mu, a * beta) / 2
+        return float(
+            gaussian_mixture(np.array([reference_fwhm / 2]), pi, mu, a * beta)[0]
+            - gaussian_mixture(np.array([0.0]), pi, mu, a * beta)[0] / 2
         )
 
     sol = root_scalar(func, method="bisect", bracket=[1e-6, 100])

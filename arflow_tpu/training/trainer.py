@@ -157,6 +157,25 @@ class BaseTrainer:
             state["batch_stats"] = jax.device_get(self.state["batch_stats"])
         save_checkpoint(self.save_root, state, name, is_best)
 
+    def maybe_profile(self):
+        """Start a jax.profiler trace for this epoch when cfg.profile_epoch
+        matches (replaces the reference's wall-clock-only instrumentation,
+        SURVEY.md §5). Trace lands under <save_root>/profile."""
+        if self.cfg.get("profile_epoch", -1) == self.i_epoch:
+            import jax.profiler
+
+            path = f"{self.save_root}/profile"
+            jax.profiler.start_trace(path)
+            self._log.info("jax.profiler trace started -> %s", path)
+            return True
+        return False
+
+    def stop_profile(self, started):
+        if started:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+
     def _maybe_stage1(self):
         """Scheduled loss-config switch (trainer/uflow_trainer.py:26-28)."""
         if self.full_cfg is None or "stage1" not in self.full_cfg:

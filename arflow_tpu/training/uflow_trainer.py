@@ -68,6 +68,7 @@ class UFlowTrainer(BaseTrainer):
         timer = Timer()
 
         self._maybe_stage1()
+        profiling = self.maybe_profile()
 
         for i_step, data in enumerate(self.train_loader):
             if i_step > self.cfg.epoch_size:
@@ -106,6 +107,7 @@ class UFlowTrainer(BaseTrainer):
                 i_step, key_meters, self.KEY_METERS, am_batch_time, am_data_time
             )
             self.i_iter += 1
+        self.stop_profile(profiling)
         self.i_epoch += 1
 
     def _validate_with_gt(self):

@@ -27,7 +27,7 @@ REFERENCE_CPU_MAPS_PER_SEC = 1.195  # measured 2026-08-16, torch 2.13 CPU
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/arflow_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 

@@ -31,7 +31,7 @@ if not os.environ.get("ARFLOW_TEST_TPU"):
 jax.config.update("jax_enable_x64", True)  # float64 oracles in parity tests
 # Persistent compilation cache: repeated test runs skip XLA recompiles
 # (minutes each on this single-core host).
-jax.config.update("jax_compilation_cache_dir", "/tmp/arflow_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # This JAX build defaults matmuls/convs to low (bf16-style) precision even on
 # CPU; parity tests against torch float32 oracles need full f32 accumulation.

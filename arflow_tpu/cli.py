@@ -262,3 +262,60 @@ def evaluate_flo_cli(argv=None):
     if ents and len(ents) == len(preds):
         auc, _, _ = evaluate_uncertainty(gts, preds, ents, args.sp_samples)
         print(f"AUC: {auc[0]:.4f} AUC_diff: {auc[1]:.4f}")
+
+
+def fit_penalty_cli(argv=None):
+    """GMM penalty fitting CLI (reference: train_penalty_em.py:223-346).
+
+    Samples data/smoothness residuals from a dataset with GT flow, fits a
+    K-component mixture by variational EM, and prints the (pi, beta) arrays
+    to paste into a config's penalty_{smooth,census}_{pi,beta} keys.
+    """
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True,
+                        help="training config providing data + loss sections")
+    parser.add_argument("--penalty", choices=["data", "smooth"], default="smooth")
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--n_iter", type=int, default=30)
+    parser.add_argument("--n_samples", type=float, default=3e6)
+    parser.add_argument("--subsample", type=float, default=0.95)
+    parser.add_argument(
+        "--init_vars", type=float, nargs="+",
+        default=[0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1, 5, 10, 50],
+    )
+    args = parser.parse_args(argv)
+
+    from arflow_tpu.data import DataLoader, get_dataset
+    from arflow_tpu.tools.penalty_em import (
+        EM,
+        abs_robust_loss_fwhm,
+        collect_residuals,
+        fwhm_scale,
+        robust_l1_fwhm,
+    )
+
+    cfg = load_config(args.config)
+    train_set, valid_set = get_dataset(cfg, seed=cfg.get("seed", 0))
+    dataset = train_set if train_set is not None else valid_set[0]
+    loader = DataLoader(dataset, batch_size=cfg.train.get("batch_size", 4),
+                        num_workers=cfg.train.get("workers", 2), shuffle=True)
+
+    x0 = collect_residuals(
+        loader, cfg.loss, penalty=args.penalty,
+        subsample=args.subsample, n_samples=args.n_samples,
+    )
+    print(f"collected {x0.size} residual samples")
+    em = EM(k=args.k, init_vars=args.init_vars)
+    for j, obj in enumerate(em.fit(x0, n_iter=args.n_iter)):
+        print(f"update {j}: objective {obj:.2f}")
+
+    pi = np.asarray(em.state.pi)
+    beta = np.asarray(em.state.beta)
+    ref_fwhm = (
+        abs_robust_loss_fwhm() if args.penalty == "data" else robust_l1_fwhm()
+    )
+    scale = fwhm_scale(pi, np.zeros_like(pi), beta, ref_fwhm)
+    print("Pi: ", pi.tolist())
+    print("Beta: ", beta.tolist())
+    print("Scaling factor: ", scale)
+    print("Beta scaled: ", (beta * scale).tolist())

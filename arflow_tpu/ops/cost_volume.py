@@ -49,7 +49,14 @@ def compute_cost_volume(
 ) -> jnp.ndarray:
     """Cost volume; dispatches to the fused Pallas kernel on TPU when possible."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Opt-in while the fused kernel's perf is being validated against
+        # XLA's own fusion of the shifted-product form (ARFLOW_USE_PALLAS=1).
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("ARFLOW_USE_PALLAS", "0") == "1"
+        )
     if use_pallas:
         try:
             from arflow_tpu.ops.pallas.cost_volume_pallas import (

@@ -2,19 +2,20 @@
 
 Replaces the reference CUDA correlation kernel
 (models/correlation_package/correlation_cuda_kernel.cu:42-114) the TPU way:
-one kernel instance per batch image holds the feature map and its padded
-counterpart in VMEM and emits all (2*md+1)^2 channel-mean dot products in a
-single fused pass — no HBM round trips for the 81 shifted products and no
-81-buffer concatenation like the lowered XLA version.
+each kernel instance holds an H-tile of the feature map plus the haloed tile
+of the padded counterpart in VMEM and emits all (2*md+1)^2 channel-mean dot
+products in one fused pass — no HBM round trips for the 81 shifted products.
 
 Numerics match models/correlation_native.py:13-23 / uflow_model.py:53-92
 exactly (mean over channels, zero padding), verified by parity tests in
 interpret mode and against the XLA reference formulation.
 
-Backward: the op carries a custom VJP derived from the forward algebra
-(grad_f1[p] += g[p,k] * f2[p+d_k] / C; grad_f2 scatter of the transpose,
-expressed as the correlation with reversed displacements), mirroring
-correlation_cuda_kernel.cu:117-300 but fused per batch image.
+VMEM accounting: blocks are lane-padded to 128, double-buffered by the
+pipeline; ``supported()`` budgets conservatively and the grid tiles H so the
+per-instance footprint stays well under the ~16 MiB scoped limit.
+
+Backward: custom VJP with the shifted-product adjoints (mirroring
+correlation_cuda_kernel.cu:117-300), currently lowered via XLA.
 """
 
 from __future__ import annotations
@@ -26,32 +27,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 100 * 1024 * 1024  # soft cap; v5e has ~128 MiB VMEM per core
+_VMEM_BUDGET = 8 * 1024 * 1024  # conservative half of the ~16 MiB scoped VMEM
+
+
+def _ceil(a, b):
+    return -(-a // b)
+
+
+def _pad_lane(c):
+    return _ceil(c, 128) * 128
+
+
+def _tile_h(h: int, w: int, c: int, md: int) -> int:
+    """Largest H-tile whose double-buffered footprint fits the budget."""
+    num_shifts2 = (2 * md + 1) ** 2
+    for th in (32, 16, 8):
+        th_eff = min(th, h)
+        f1 = th_eff * w * _pad_lane(c) * 4
+        f2p = (th_eff + 2 * md) * (w + 2 * md) * _pad_lane(c) * 4
+        out = th_eff * w * _pad_lane(num_shifts2) * 4
+        # x2 pipeline double buffering, plus slack for kernel temporaries.
+        if 2 * (f1 + f2p + out) + out < _VMEM_BUDGET:
+            return th_eff
+    return 0
 
 
 def supported(f1_shape, max_displacement: int) -> bool:
-    """Whole-image-per-instance kernel: check the VMEM footprint."""
     if len(f1_shape) != 4:
         return False
     _, h, w, c = f1_shape
-    md = max_displacement
-    num_shifts = 2 * md + 1
-    f32 = 4
-    need = (
-        h * w * c * f32  # f1
-        + (h + 2 * md) * (w + 2 * md) * c * f32  # f2 padded
-        + h * w * num_shifts**2 * f32  # out
-    )
-    return need < _VMEM_BUDGET
+    if h % 8 != 0 and h > 8:
+        # uneven H tiles would need masked edge handling; fall back.
+        pass
+    return _tile_h(h, w, c, max_displacement) > 0
 
 
 def _fwd_kernel(f1_ref, f2p_ref, out_ref, *, num_shifts: int, c: int):
     f1 = f1_ref[0]
-    h, w = f1.shape[0], f1.shape[1]
+    th, w = f1.shape[0], f1.shape[1]
     costs = []
     for i in range(num_shifts):
         for j in range(num_shifts):
-            f2 = f2p_ref[0, i : i + h, j : j + w, :]
+            f2 = f2p_ref[0, i : i + th, j : j + w, :]
             costs.append(jnp.sum(f1 * f2, axis=-1) / c)
     out_ref[0] = jnp.stack(costs, axis=-1)
 
@@ -59,30 +76,63 @@ def _fwd_kernel(f1_ref, f2p_ref, out_ref, *, num_shifts: int, c: int):
 def _call_fwd(f1, f2, md: int):
     b, h, w, c = f1.shape
     num_shifts = 2 * md + 1
-    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    th = _tile_h(h, w, c, md)
+    if th <= 0:
+        raise ValueError("shape unsupported for the pallas cost volume")
+    # Pad H so tiles divide evenly (zero rows produce zero costs, sliced off).
+    h_pad = _ceil(h, th) * th
+    f1p = jnp.pad(f1, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    f2p = jnp.pad(
+        f2, ((0, 0), (md, md + h_pad - h), (md, md), (0, 0))
+    )
     kernel = functools.partial(_fwd_kernel, num_shifts=num_shifts, c=c)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, h_pad // th),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h + 2 * md, w + 2 * md, c), lambda i: (i, 0, 0, 0),
+                (1, th, w, c), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # Haloed tile: rows [j*th, j*th + th + 2*md). BlockSpecs address
+            # non-overlapping blocks, so the overlapping windows are
+            # pre-stacked by _halo_stack into a (B*n_tiles, th+2md, W+2md, C)
+            # array indexed here by flat (batch, tile).
+            pl.BlockSpec(
+                (1, th + 2 * md, w + 2 * md, c),
+                lambda i, j, _n=h_pad // th: (i * _n + j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w, num_shifts**2), lambda i: (i, 0, 0, 0),
+            (1, th, w, num_shifts**2), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, num_shifts**2), f1.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w, num_shifts**2), f1.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(f1, f2p)
+    )(f1p, _halo_stack(f2p, th, md, h_pad))
+    return out[:, :h]
 
 
-def _grad_kernels(g, f1, f2, md: int):
-    """Backward pass, expressed with the same fused-shift structure.
+def _halo_stack(f2p, th: int, md: int, h_pad: int):
+    """Materialize overlapping H-tiles of the padded features.
+
+    BlockSpec index maps address non-overlapping blocks only, so the haloed
+    windows (th + 2*md rows, stride th) are pre-stacked into a
+    (B, n_tiles, th+2md, W+2md, C) array — XLA lowers this to cheap strided
+    copies, and each kernel instance then reads its own block.
+    """
+    n_tiles = h_pad // th
+    windows = [
+        f2p[:, j * th : j * th + th + 2 * md] for j in range(n_tiles)
+    ]
+    return jnp.stack(windows, axis=1).reshape(
+        f2p.shape[0] * n_tiles, th + 2 * md, f2p.shape[2], f2p.shape[3]
+    )
+
+
+def _grad_shifted(g, f1, f2, md: int):
+    """Backward pass via shifted products (XLA; fused well by the compiler).
 
     grad_f1[:, y, x, c] = sum_k g[:, y, x, k] * f2[:, y+dy_k, x+dx_k, c] / C
     grad_f2[:, y, x, c] = sum_k g[:, y-dy_k, x-dx_k, k] * f1[:, y-dy_k, x-dx_k, c] / C
@@ -98,14 +148,12 @@ def _grad_kernels(g, f1, f2, md: int):
             shifted = jax.lax.dynamic_slice(f2p, (0, i, j, 0), (b, h, w, c))
             grad_f1 = grad_f1 + g[..., k : k + 1] * shifted / c
 
-    # grad wrt f2: pad g and f1 on the opposite side and shift back.
     gp = jnp.pad(g, ((0, 0), (md, md), (md, md), (0, 0)))
     f1p = jnp.pad(f1, ((0, 0), (md, md), (md, md), (0, 0)))
     grad_f2 = jnp.zeros_like(f2)
     for i in range(num_shifts):
         for j in range(num_shifts):
             k = i * num_shifts + j
-            # displacement d = (i - md, j - md); contribution lands at p + d.
             gs = jax.lax.dynamic_slice(
                 gp, (0, 2 * md - i, 2 * md - j, 0), (b, h, w, num_shifts**2)
             )[..., k : k + 1]
@@ -127,7 +175,7 @@ def _vjp_fwd(f1, f2, md):
 
 def _vjp_bwd(md, res, g):
     f1, f2 = res
-    return _grad_kernels(g, f1, f2, md)
+    return _grad_shifted(g, f1, f2, md)
 
 
 cost_volume_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # conservative half of the ~16 MiB scoped VMEM
+_VMEM_BUDGET = 13 * 1024 * 1024  # headroom under the ~16 MiB scoped VMEM limit
 
 
 def _ceil(a, b):
@@ -40,14 +40,17 @@ def _pad_lane(c):
 
 def _tile_h(h: int, w: int, c: int, md: int) -> int:
     """Largest H-tile whose double-buffered footprint fits the budget."""
-    num_shifts2 = (2 * md + 1) ** 2
+    num_shifts = 2 * md + 1
     for th in (32, 16, 8):
         th_eff = min(th, h)
         f1 = th_eff * w * _pad_lane(c) * 4
         f2p = (th_eff + 2 * md) * (w + 2 * md) * _pad_lane(c) * 4
-        out = th_eff * w * _pad_lane(num_shifts2) * 4
-        # x2 pipeline double buffering, plus slack for kernel temporaries.
-        if 2 * (f1 + f2p + out) + out < _VMEM_BUDGET:
+        out = th_eff * w * _pad_lane(num_shifts**2) * 4
+        # One row-shift group of product temporaries is alive at a time
+        # (the kernel writes per-group); Mosaic's stack allocator is
+        # conservative, so budget all of them.
+        temps = num_shifts * f1
+        if 2 * (f1 + f2p + out) + temps < _VMEM_BUDGET:
             return th_eff
     return 0
 
@@ -65,12 +68,17 @@ def supported(f1_shape, max_displacement: int) -> bool:
 def _fwd_kernel(f1_ref, f2p_ref, out_ref, *, num_shifts: int, c: int):
     f1 = f1_ref[0]
     th, w = f1.shape[0], f1.shape[1]
-    costs = []
+    # Write one row-shift group (num_shifts channels) at a time so only that
+    # group's product temporaries are live (a single 81-way stack makes
+    # Mosaic's stack allocator hold all 81 (th, w, c) products -> VMEM OOM).
     for i in range(num_shifts):
+        group = []
         for j in range(num_shifts):
             f2 = f2p_ref[0, i : i + th, j : j + w, :]
-            costs.append(jnp.sum(f1 * f2, axis=-1) / c)
-    out_ref[0] = jnp.stack(costs, axis=-1)
+            group.append(jnp.sum(f1 * f2, axis=-1) / c)
+        out_ref[0, :, :, i * num_shifts : (i + 1) * num_shifts] = jnp.stack(
+            group, axis=-1
+        )
 
 
 def _call_fwd(f1, f2, md: int):

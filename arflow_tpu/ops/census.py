@@ -22,15 +22,24 @@ def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def extract_patches(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
-    """(B,H,W,1) -> (B,H,W,patch_size**2) zero-padded SAME patches."""
-    return lax.conv_general_dilated_patches(
-        x,
-        filter_shape=(patch_size, patch_size),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
-    )
+    """(B,H,W,1) -> (B,H,W,patch_size**2) zero-padded SAME patches.
+
+    Pure data movement: static shifted slices of one padded canvas (exact,
+    and much cheaper on TPU than the identity-kernel convolution the
+    reference uses, uflow_utils.py:255-257 — a 49-channel conv at full
+    precision). Channel k corresponds to tap (k // P, k % P), matching the
+    reference's eye-kernel ordering.
+    """
+    b, h, w, c = x.shape
+    assert c == 1
+    pad = patch_size // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    taps = [
+        xp[:, i : i + h, j : j + w, 0]
+        for i in range(patch_size)
+        for j in range(patch_size)
+    ]
+    return jnp.stack(taps, axis=-1)
 
 
 def census_transform(image: jnp.ndarray, patch_size: int = 7) -> jnp.ndarray:

@@ -23,6 +23,14 @@ from arflow_tpu.utils.flow_io import load_flow
 
 
 def load_image(path) -> np.ndarray:
+    # Fast path: native libpng/PPM decoder (arflow_tpu.native); PIL fallback.
+    from arflow_tpu import native
+
+    if native.available() and native.supports(path):
+        try:
+            return native.load_image(str(path))
+        except Exception:
+            pass
     from PIL import Image
 
     with Image.open(path) as im:

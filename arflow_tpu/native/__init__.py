@@ -1,0 +1,148 @@
+"""Native (C++) data-path kernels, loaded via ctypes.
+
+Builds ``arflow_io.cpp`` with g++ on first use (cached next to the source);
+falls back cleanly when the toolchain or libpng is unavailable —
+``available()`` gates every caller (the PIL/numpy paths remain the default
+fallback everywhere).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "arflow_io.cpp")
+_SO = os.path.join(_HERE, "arflow_io.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        _SRC, "-o", _SO, "-lpng", "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        i32p = ctypes.POINTER(ctypes.c_int)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.arf_png_info.argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
+        lib.png_decode_f32.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int]
+        lib.png_decode_kitti_flow.argtypes = [ctypes.c_char_p, f32p]
+        lib.arf_ppm_info.argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
+        lib.ppm_decode_f32.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int]
+        lib.arf_flo_info.argtypes = [ctypes.c_char_p, i32p, i32p]
+        lib.flo_decode.argtypes = [ctypes.c_char_p, f32p]
+        lib.resize_bilinear_f32.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int,
+        ]
+        for fn in ("arf_png_info", "png_decode_f32", "png_decode_kitti_flow",
+                   "arf_ppm_info", "ppm_decode_f32", "arf_flo_info", "flo_decode"):
+            getattr(lib, fn).restype = ctypes.c_int
+        lib.resize_bilinear_f32.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def load_image(path: str, channels: int = 3) -> np.ndarray:
+    """Decode PNG/PPM/PGM to float32 [0,1] (H, W, channels)."""
+    lib = _load()
+    assert lib is not None
+    path_b = str(path).encode()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    lower = str(path).lower()
+    if lower.endswith(".png"):
+        if lib.arf_png_info(path_b, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
+            raise IOError(f"png_info failed: {path}")
+        out = np.empty((h.value, w.value, channels), np.float32)
+        if lib.png_decode_f32(path_b, _fp(out), channels):
+            raise IOError(f"png_decode failed: {path}")
+        return out
+    if lower.endswith((".ppm", ".pgm", ".pnm")):
+        if lib.arf_ppm_info(path_b, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
+            raise IOError(f"ppm_info failed: {path}")
+        out = np.empty((h.value, w.value, channels), np.float32)
+        if lib.ppm_decode_f32(path_b, _fp(out), channels):
+            raise IOError(f"ppm_decode failed: {path}")
+        return out
+    raise ValueError(f"unsupported extension: {path}")
+
+
+def supports(path: str) -> bool:
+    return str(path).lower().endswith((".png", ".ppm", ".pgm", ".pnm"))
+
+
+def read_flo(path: str) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.arf_flo_info(str(path).encode(), ctypes.byref(h), ctypes.byref(w)):
+        raise IOError(f"flo_info failed: {path}")
+    out = np.empty((h.value, w.value, 2), np.float32)
+    if lib.flo_decode(str(path).encode(), _fp(out)):
+        raise IOError(f"flo_decode failed: {path}")
+    return out
+
+
+def read_kitti_png(path: str) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.arf_png_info(str(path).encode(), ctypes.byref(h), ctypes.byref(w),
+                    ctypes.byref(c)):
+        raise IOError(f"png_info failed: {path}")
+    out = np.empty((h.value, w.value, 3), np.float32)
+    if lib.png_decode_kitti_flow(str(path).encode(), _fp(out)):
+        raise IOError(f"kitti flow decode failed: {path}")
+    return out
+
+
+def resize_bilinear(img: np.ndarray, out_hw) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.float32)
+    h, w, c = img.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, c), np.float32)
+    lib.resize_bilinear_f32(_fp(img), h, w, c, _fp(out), oh, ow)
+    return out

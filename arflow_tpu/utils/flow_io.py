@@ -69,7 +69,17 @@ def write_kitti_png(path: str, flow: np.ndarray, mask: np.ndarray | None = None)
 
 
 def load_flow(path: str) -> np.ndarray:
-    """Dispatch on extension (utils/flow_utils.py:9-31)."""
+    """Dispatch on extension (utils/flow_utils.py:9-31). Uses the native
+    decoders (arflow_tpu.native) when built; numpy/cv2 otherwise."""
+    from arflow_tpu import native
+
+    if native.available():
+        try:
+            if str(path).endswith(".png"):
+                return native.read_kitti_png(str(path))
+            return native.read_flo(str(path))
+        except Exception:
+            pass
     if str(path).endswith(".png"):
         return read_kitti_png(str(path))
     return read_flo(str(path))

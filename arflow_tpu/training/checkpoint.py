@@ -81,3 +81,40 @@ def load_pretrained(path: str, model_cfg) -> dict:
         raise NotImplementedError(f"torch import for model type {t}")
     state = load_checkpoint(path)
     return state.get("params", state)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional; production-grade async-capable checkpointing)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(save_dir, state: dict, prefix: str,
+                          is_best: bool = False):
+    """Save via orbax StandardCheckpointer to <save_dir>/<prefix>_ckpt_orbax
+    (+ <prefix>_model_best_orbax copy on best)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(save_dir, f"{prefix}_ckpt_orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    state = _to_state_dict(state)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    if is_best:
+        best = os.path.abspath(
+            os.path.join(save_dir, f"{prefix}_model_best_orbax")
+        )
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+    return path
+
+
+def load_checkpoint_orbax(path: str, target=None) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    if target is not None:
+        return flax.serialization.from_state_dict(target, restored)
+    return restored

@@ -155,7 +155,12 @@ class BaseTrainer:
         }
         if self._has_batch_stats:
             state["batch_stats"] = jax.device_get(self.state["batch_stats"])
-        save_checkpoint(self.save_root, state, name, is_best)
+        if self.cfg.get("checkpoint_backend", "msgpack") == "orbax":
+            from arflow_tpu.training.checkpoint import save_checkpoint_orbax
+
+            save_checkpoint_orbax(self.save_root, state, name, is_best)
+        else:
+            save_checkpoint(self.save_root, state, name, is_best)
 
     def maybe_profile(self):
         """Start a jax.profiler trace for this epoch when cfg.profile_epoch

@@ -96,10 +96,3 @@ class ConvTranspose2dTorch(nn.Module):
             y = y + bias
         return y
 
-
-def level_dropout(x_list, rate: float, rng) -> list:
-    """Whole-level dropout: one scalar Bernoulli per call, applied to all
-    tensors in x_list (models/uflow_model.py:210-214 semantics: keep with
-    probability 1-rate, NO rescaling)."""
-    keep = (jax.random.uniform(rng, ()) > rate).astype(x_list[0].dtype)
-    return [x * keep for x in x_list]

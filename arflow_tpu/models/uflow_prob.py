@@ -48,9 +48,10 @@ from arflow_tpu.ops import (
 _ALPHA = 0.1
 
 
-def _conv(features, kernel_size=3, stride=1, dilation=1, name=None):
+def _conv(features, kernel_size=3, stride=1, dilation=1, name=None, dtype=None):
     return conv2d(
-        features, kernel_size, stride, dilation, name=name, kernel_init=kaiming_normal
+        features, kernel_size, stride, dilation, name=name,
+        kernel_init=kaiming_normal, dtype=dtype,
     )
 
 
@@ -61,6 +62,7 @@ class PWCProbFlow(nn.Module):
     inv_cov: bool = False
     n_pyramids: int = 1
     mixture_weights: bool = False
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
     num_levels: int = 5
     num_context_up_channels: int = 32
     max_displacement: int = 4
@@ -80,13 +82,13 @@ class PWCProbFlow(nn.Module):
 
     def setup(self):
         self.pyramids = [
-            PWCFeaturePyramid(name=f"feature_pyramid_{k}")
+            PWCFeaturePyramid(name=f"feature_pyramid_{k}", dtype=self.dtype)
             for k in range(self.n_pyramids)
         ]
         flow_layers = {}
         for level in range(1, self.num_levels):
             convs = [
-                _conv(c, name=f"flow_l{level}_c{j}")
+                _conv(c, name=f"flow_l{level}_c{j}", dtype=self.dtype)
                 for j, c in enumerate(self.flow_decoder_filters)
             ]
             out_ch = (
@@ -94,7 +96,7 @@ class PWCProbFlow(nn.Module):
                 if level == 1
                 else sum(self.out_channels[0:2])
             )
-            convs.append(_conv(out_ch, name=f"flow_l{level}_out"))
+            convs.append(_conv(out_ch, name=f"flow_l{level}_out", dtype=self.dtype))
             flow_layers[level] = convs
         self._flow_layers = flow_layers
         self._context_up_layers = {
@@ -104,15 +106,18 @@ class PWCProbFlow(nn.Module):
                 stride=2,
                 padding=1,
                 kernel_init=kaiming_normal,
+                dtype=self.dtype,
                 name=f"context_up_l{level}",
             )
             for level in range(1, self.num_levels)
         }
         refine = [
-            _conv(c, dilation=d, name=f"refine_{j}")
+            _conv(c, dilation=d, name=f"refine_{j}", dtype=self.dtype)
             for j, (c, d) in enumerate(self.refinement_filters)
         ]
-        refine.append(_conv(sum(self.out_channels), name="refine_out"))
+        refine.append(
+            _conv(sum(self.out_channels), name="refine_out", dtype=self.dtype)
+        )
         self._refine_model = refine
         if self.mixture_weights:
             self._mixture_weights_net = MixtureWeightsNet(
@@ -227,6 +232,8 @@ class PWCProbFlow(nn.Module):
         out_0 = self.upsample_out(out_1)
         outs.insert(0, out_1)
         outs.insert(0, out_0)
+        if self.dtype is not None:
+            outs = [o.astype(jnp.float32) for o in outs]
         return outs
 
     def flows_cat(self, input_list):

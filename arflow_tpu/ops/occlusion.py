@@ -22,15 +22,14 @@ from jax import lax
 from arflow_tpu.ops.warp import flow_to_warp, flow_warp
 
 
-def _scatter_bilinear(x, y, h, w, clamp_corners: bool):
+def _scatter_bilinear(x, y, h, w):
     """Shared bilinear splat: returns (B, H*W) count image flattened.
 
-    x, y: (B, H, W) target coordinates.
-    clamp_corners=False: uflow compute_range_map corner validity
-      (corner in-range test on floor+offset corners).
-    clamp_corners=True: ARFlow get_corresponding_map (clamped corners marked
-      invalid when clamping changed them) — numerically identical validity
-      rule; both reduce to masking out-of-range corners.
+    x, y: (B, H, W) target coordinates. Serves both the uflow
+    compute_range_map (in-range corner test) and ARFlow
+    get_corresponding_map (invalid-when-clamped corners) — the two validity
+    rules are numerically identical and reduce to masking out-of-range
+    corners.
     """
     b = x.shape[0]
     n = h * w
@@ -64,7 +63,7 @@ def compute_range_map(flow: jnp.ndarray) -> jnp.ndarray:
     """How often each pixel is sampled by ``flow`` (B,H,W,2) -> (B,H,W,1)."""
     b, h, w, _ = flow.shape
     coords = flow_to_warp(flow)
-    counts = _scatter_bilinear(coords[..., 0], coords[..., 1], h, w, False)
+    counts = _scatter_bilinear(coords[..., 0], coords[..., 1], h, w)
     return counts.reshape(b, h, w, 1)
 
 
@@ -74,7 +73,7 @@ def get_corresponding_map(coords: jnp.ndarray) -> jnp.ndarray:
     coords: (B,H,W,2) warp coordinates; returns (B,H,W,1).
     """
     b, h, w, _ = coords.shape
-    counts = _scatter_bilinear(coords[..., 0], coords[..., 1], h, w, True)
+    counts = _scatter_bilinear(coords[..., 0], coords[..., 1], h, w)
     return counts.reshape(b, h, w, 1)
 
 

@@ -61,9 +61,15 @@ def compute_cost_volume(
         try:
             from arflow_tpu.ops.pallas.cost_volume_pallas import (
                 cost_volume_pallas,
+                cost_volume_pallas_v2,
                 supported,
+                supported_v2,
             )
 
+            if supported_v2(features1.shape, max_displacement):
+                return cost_volume_pallas_v2(
+                    features1, features2, max_displacement
+                )
             if supported(features1.shape, max_displacement):
                 return cost_volume_pallas(features1, features2, max_displacement)
         except ImportError:

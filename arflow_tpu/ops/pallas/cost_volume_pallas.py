@@ -187,3 +187,98 @@ def _vjp_bwd(md, res, g):
 
 
 cost_volume_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: lane-transposed kernel — W in the lane dimension, C in sublanes.
+#
+# The v1 layout keeps C (=32) in lanes, wasting 3/4 of each 128-lane vector
+# and losing to XLA's own fusion. Here inputs are transposed to (.., C, W):
+# each (dy, dx) displacement is one (th, C, W) elementwise multiply reduced
+# over the C sublanes, with dx realized as a static lane shift — full lane
+# utilization, one contiguous (th, W) write per displacement.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_v2(f1_ref, f2_ref, out_ref, *, num_shifts: int, c: int,
+                   th: int, w: int):
+    f1 = f1_ref[0]  # (th, C, W)
+    for dy in range(num_shifts):
+        f2_dy = f2_ref[0, dy : dy + th, :, :]  # (th, C, W + 2md)
+        for dx in range(num_shifts):
+            prod = f1 * f2_dy[:, :, dx : dx + w]
+            out_ref[0, dy * num_shifts + dx] = jnp.sum(prod, axis=1) / c
+
+
+def supported_v2(f1_shape, max_displacement: int) -> bool:
+    if len(f1_shape) != 4:
+        return False
+    _, h, w, c = f1_shape
+    md = max_displacement
+    th = 8
+    wp = _pad_lane(w)
+    need = (
+        2 * (th * c * wp + (th + 2 * md) * c * _pad_lane(w + 2 * md)
+             + (2 * md + 1) ** 2 * th * wp)
+        + 4 * th * c * wp  # product temporaries headroom
+    ) * 4
+    return need < _VMEM_BUDGET and h >= 1
+
+
+def cost_volume_pallas_v2(f1, f2, max_displacement: int = 4):
+    """Forward-only lane-transposed cost volume (differentiable via the same
+    custom VJP as v1 when wrapped; used by benchmarks and the dispatcher)."""
+    b, h, w, c = f1.shape
+    md = max_displacement
+    num_shifts = 2 * md + 1
+    th = 8
+    h_pad = _ceil(h, th) * th
+
+    # (B, H, C, W) layouts.
+    f1_t = jnp.transpose(
+        jnp.pad(f1, ((0, 0), (0, h_pad - h), (0, 0), (0, 0))), (0, 1, 3, 2)
+    )
+    f2_t = jnp.transpose(
+        jnp.pad(f2, ((0, 0), (md, md + h_pad - h), (md, md), (0, 0))),
+        (0, 1, 3, 2),
+    )
+    n_tiles = h_pad // th
+    # Halo-stacked (B*n_tiles, th+2md, C, W+2md).
+    windows = [f2_t[:, j * th : j * th + th + 2 * md] for j in range(n_tiles)]
+    f2_st = jnp.stack(windows, axis=1).reshape(
+        b * n_tiles, th + 2 * md, c, w + 2 * md
+    )
+
+    kernel = functools.partial(
+        _fwd_kernel_v2, num_shifts=num_shifts, c=c, th=th, w=w
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, c, w),
+                lambda i, j, _n=n_tiles: (i * _n + j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th + 2 * md, c, w + 2 * md),
+                lambda i, j, _n=n_tiles: (i * _n + j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_shifts**2, th, w),
+            lambda i, j, _n=n_tiles: (i * _n + j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b * n_tiles, num_shifts**2, th, w), f1.dtype
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(f1_t.reshape(b * n_tiles, th, c, w), f2_st)
+    # (B*n_tiles, K, th, W) -> (B, H, W, K)
+    out = out.reshape(b, n_tiles, num_shifts**2, th, w)
+    out = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(
+        b, h_pad, w, num_shifts**2
+    )
+    return out[:, :h]

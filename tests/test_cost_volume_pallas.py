@@ -35,3 +35,18 @@ def test_pallas_cost_volume_grads(rng):
     g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(f1, f2)
     np.testing.assert_allclose(np.asarray(g_ours[0]), np.asarray(g_ref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_ours[1]), np.asarray(g_ref[1]), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,md", [((2, 12, 16, 8), 4), ((1, 24, 20, 16), 2)])
+def test_pallas_cost_volume_v2_forward(rng, shape, md):
+    from arflow_tpu.ops.pallas.cost_volume_pallas import (
+        cost_volume_pallas_v2,
+        supported_v2,
+    )
+
+    assert supported_v2(shape, md)
+    f1 = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    ours = jax.jit(lambda a, b: cost_volume_pallas_v2(a, b, md))(f1, f2)
+    ref = compute_cost_volume_reference(f1, f2, md)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)

@@ -224,9 +224,23 @@ def supported_v2(f1_shape, max_displacement: int) -> bool:
     return need < _VMEM_BUDGET and h >= 1
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def cost_volume_pallas_v2(f1, f2, max_displacement: int = 4):
-    """Forward-only lane-transposed cost volume (differentiable via the same
-    custom VJP as v1 when wrapped; used by benchmarks and the dispatcher)."""
+    """Lane-transposed cost volume with the shifted-product custom VJP."""
+    return _call_fwd_v2(f1, f2, max_displacement)
+
+
+def _v2_vjp_fwd(f1, f2, md):
+    return _call_fwd_v2(f1, f2, md), (f1, f2)
+
+
+def _v2_vjp_bwd(md, res, g):
+    f1, f2 = res
+    return _grad_shifted(g, f1, f2, md)
+
+
+def _call_fwd_v2(f1, f2, max_displacement: int = 4):
+    """Forward pass of the lane-transposed kernel."""
     b, h, w, c = f1.shape
     md = max_displacement
     num_shifts = 2 * md + 1
@@ -282,3 +296,6 @@ def cost_volume_pallas_v2(f1, f2, max_displacement: int = 4):
         b, h_pad, w, num_shifts**2
     )
     return out[:, :h]
+
+
+cost_volume_pallas_v2.defvjp(_v2_vjp_fwd, _v2_vjp_bwd)

@@ -50,3 +50,22 @@ def test_pallas_cost_volume_v2_forward(rng, shape, md):
     ours = jax.jit(lambda a, b: cost_volume_pallas_v2(a, b, md))(f1, f2)
     ref = compute_cost_volume_reference(f1, f2, md)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_cost_volume_v2_grads(rng):
+    from arflow_tpu.ops.pallas.cost_volume_pallas import cost_volume_pallas_v2
+
+    shape, md = (1, 10, 12, 8), 3
+    f1 = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+    def loss_v2(a, b):
+        return jnp.sum(cost_volume_pallas_v2(a, b, md) ** 2)
+
+    def loss_ref(a, b):
+        return jnp.sum(compute_cost_volume_reference(a, b, md) ** 2)
+
+    g_ours = jax.jit(jax.grad(loss_v2, argnums=(0, 1)))(f1, f2)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(f1, f2)
+    np.testing.assert_allclose(np.asarray(g_ours[0]), np.asarray(g_ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_ours[1]), np.asarray(g_ref[1]), atol=1e-4)

@@ -25,6 +25,12 @@ REFERENCE_CPU_MAPS_PER_SEC = 1.195  # measured 2026-08-16, torch 2.13 CPU
 
 
 def main():
+    import os
+
+    # The fused Pallas cost volume wins 2.6x end-to-end at this resolution
+    # (XLA's own fusion of the 81-slice form degrades at 384x640; see
+    # BASELINE.md). Training-scale shapes keep the XLA default.
+    os.environ.setdefault("ARFLOW_USE_PALLAS", "1")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

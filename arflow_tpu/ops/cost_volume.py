@@ -49,14 +49,20 @@ def compute_cost_volume(
 ) -> jnp.ndarray:
     """Cost volume; dispatches to the fused Pallas kernel on TPU when possible."""
     if use_pallas is None:
-        # Opt-in while the fused kernel's perf is being validated against
-        # XLA's own fusion of the shifted-product form (ARFLOW_USE_PALLAS=1).
+        # Shape-aware default (measured, BASELINE.md): the fused kernel wins
+        # 2.6x end-to-end when the feature width fills the 128-lane vectors
+        # (384x640 inputs -> level-1 W=160); below that XLA's own fusion is a
+        # wash or slightly ahead (256x448 -> W=112). ARFLOW_USE_PALLAS=0/1
+        # force-overrides.
         import os
 
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and os.environ.get("ARFLOW_USE_PALLAS", "0") == "1"
-        )
+        env = os.environ.get("ARFLOW_USE_PALLAS")
+        if env is not None:
+            use_pallas = env == "1"
+        else:
+            use_pallas = (
+                jax.default_backend() == "tpu" and features1.shape[2] >= 128
+            )
     if use_pallas:
         try:
             from arflow_tpu.ops.pallas.cost_volume_pallas import (

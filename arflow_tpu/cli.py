@@ -5,14 +5,13 @@ from __future__ import annotations
 
 import argparse
 import datetime
-import json
 import math
 import os
 import pprint
 
 import numpy as np
 
-from arflow_tpu.config import Config, load_config
+from arflow_tpu.config import load_config
 from arflow_tpu.utils.logger import init_logger
 
 

@@ -13,7 +13,6 @@ output dict per item: 'img{i}' (H,W,3 float32 [0,1] geometric-augmented),
 
 from __future__ import annotations
 
-import os
 from abc import ABC, abstractmethod
 from pathlib import Path
 

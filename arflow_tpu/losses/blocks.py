@@ -17,7 +17,6 @@ from jax import lax
 from arflow_tpu.ops import (
     census_loss_no_penalty,
     compute_range_map,
-    census_transform,
     downsample,
     flow_to_warp,
     image_grads,

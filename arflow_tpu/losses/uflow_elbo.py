@@ -24,8 +24,6 @@ unreachable with shipped configs which use n_samples=1 for these branches):
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -22,7 +22,6 @@ from arflow_tpu.ops import (
     get_occu_mask_backward,
     get_occu_mask_bidirection,
     resize_area,
-    resize_bilinear,
     ssim_dist,
 )
 

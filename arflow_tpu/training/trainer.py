@@ -26,7 +26,6 @@ import optax
 from arflow_tpu.parallel import make_mesh, replicate, shard_batch
 from arflow_tpu.training.checkpoint import load_pretrained, save_checkpoint
 from arflow_tpu.training.optim import create_optimizer
-from arflow_tpu.utils.meters import AverageMeter
 from arflow_tpu.utils.summary import SummaryWriter
 
 

@@ -42,8 +42,14 @@ class FullResLoss:
             l1 = cfg.w_l1 * jnp.abs(im - im_recons) * occu_mask
             loss = loss + jnp.sum(l1) / (jnp.sum(occu_mask) + 1e-6)
         if cfg.w_ssim > 0:
-            ssim = cfg.w_ssim * ssim_dist(im_recons, im) * occu_mask
-            loss = loss + jnp.sum(ssim) / (jnp.sum(occu_mask) + 1e-6)
+            # NOTE: the reference multiplies the VALID-pooled SSIM map
+            # (H-2, W-2) by the full-size mask — a broadcast error
+            # (fullres_loss.py:22-24 vs loss_blocks.py:70-74); the working
+            # semantics here center-crop the mask to the SSIM support.
+            ssim_map = ssim_dist(im_recons, im)
+            mask_c = occu_mask[:, 1:-1, 1:-1, :]
+            ssim = cfg.w_ssim * ssim_map * mask_c
+            loss = loss + jnp.sum(ssim) / (jnp.sum(mask_c) + 1e-6)
         if cfg.w_ternary > 0:
             dist, valid_mask = ternary_loss(
                 im, im_recons, max_distance=cfg.ternary_distance, sum_dist=True
@@ -90,8 +96,11 @@ class FullResLoss:
             occu_mask1 = 1.0 - get_occu_mask_bidirection(flow12_0, flow21_0)
             occu_mask2 = 1.0 - get_occu_mask_bidirection(flow21_0, flow12_0)
         elif cfg.occ_type == "none":
-            occu_mask1 = jnp.ones_like(flow12_0)
-            occu_mask2 = jnp.ones_like(flow21_0)
+            # NOTE: the reference uses ones_like(flow) — a 2-channel mask that
+            # breaks the 3-channel photometric products (fullres_loss.py:77-78);
+            # a single-channel all-ones mask is the working semantics.
+            occu_mask1 = jnp.ones_like(flow12_0[..., :1])
+            occu_mask2 = jnp.ones_like(flow21_0[..., :1])
         else:
             raise NotImplementedError(cfg.occ_type)
 

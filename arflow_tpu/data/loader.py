@@ -8,7 +8,6 @@ happen in the trainer (arflow_tpu.parallel.shard_batch).
 
 from __future__ import annotations
 
-import queue
 import threading
 
 import numpy as np
@@ -56,28 +55,45 @@ class DataLoader:
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 
     def __iter__(self):
-        batch_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        index_queue: queue.Queue = queue.Queue()
+        """Bounded in-order pipeline.
+
+        Workers claim batch indices in order but only after acquiring a
+        prefetch permit, so at most ``prefetch`` decoded batches are ever
+        outstanding (in flight or parked waiting for in-order delivery) —
+        a slow consumer back-pressures the decode threads instead of the
+        whole epoch being decoded into RAM. The consumer blocks on a
+        condition variable (no busy-wait) and releases one permit per
+        consumed batch.
+        """
         batches = list(self._batches())
-        for i, b in enumerate(batches):
-            index_queue.put((i, b))
-        results = {}
-        lock = threading.Lock()
+        results: dict = {}
+        cond = threading.Condition()
+        permits = threading.Semaphore(max(1, self.prefetch))
         stop = threading.Event()
+        cursor = [0]
 
         def worker():
-            while not stop.is_set():
+            while True:
+                # Acquire a prefetch permit before claiming work; the
+                # timeout lets the thread notice a consumer that bailed.
+                if not permits.acquire(timeout=0.1):
+                    if stop.is_set():
+                        return
+                    continue
+                with cond:
+                    i = cursor[0]
+                    if i >= len(batches) or stop.is_set():
+                        permits.release()
+                        return
+                    cursor[0] += 1
                 try:
-                    i, batch_idx = index_queue.get_nowait()
-                except queue.Empty:
-                    return
-                try:
-                    items = [self.dataset[int(j)] for j in batch_idx]
+                    items = [self.dataset[int(j)] for j in batches[i]]
                     batch = self.collate_fn(items)
                 except Exception as e:  # propagate to consumer
                     batch = e
-                with lock:
+                with cond:
                     results[i] = batch
+                    cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -87,21 +103,21 @@ class DataLoader:
             t.start()
 
         try:
-            next_i = 0
-            import time
-
-            while next_i < len(batches):
-                with lock:
-                    ready = next_i in results
-                if not ready:
-                    time.sleep(0.001)
-                    continue
-                with lock:
+            for next_i in range(len(batches)):
+                with cond:
+                    while next_i not in results:
+                        if not cond.wait(timeout=5.0) and not any(
+                            t.is_alive() for t in threads
+                        ):
+                            raise RuntimeError(
+                                "DataLoader workers died without producing "
+                                f"batch {next_i}"
+                            )
                     batch = results.pop(next_i)
+                permits.release()
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch
-                next_i += 1
         finally:
             stop.set()
 

@@ -152,6 +152,12 @@ class ColorJitter:
             d = self.rng.uniform(-self.hue, self.hue)
 
             def shift_hue(x, d=d):
+                from arflow_tpu import native
+
+                if x.shape[-1] == 3 and native.available():
+                    # Native path bit-matches the numpy fallback below;
+                    # ~30x faster, the input-pipeline hot spot.
+                    return native.hue_shift(x, d)
                 hsv = _rgb_to_hsv(x)
                 hsv[..., 0] = (hsv[..., 0] + d) % 1.0
                 return _hsv_to_rgb(hsv)
@@ -160,7 +166,7 @@ class ColorJitter:
         self.rng.shuffle(ops)
         for op in ops:
             img = op(img)
-        return img.astype(np.float32)
+        return np.asarray(img, np.float32)  # no copy when already f32
 
 
 class RandomGamma:
@@ -188,7 +194,14 @@ class RandomSwapChannels:
 
     def __call__(self, image):
         ind = self.rng.permutation(image.shape[-1])
-        return image[..., ind]
+        # Fancy indexing on the last axis yields a channel-outermost memory
+        # layout; downstream batch stacking over that is a pathologically
+        # strided copy (~100x slower). Write channel-by-channel into an
+        # HWC-contiguous buffer instead (single copy).
+        out = np.empty_like(image, subok=False)
+        for k, j in enumerate(ind):
+            out[..., k] = image[..., j]
+        return out
 
 
 def get_photometric_transforms(cfg, rng=None):

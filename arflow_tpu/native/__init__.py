@@ -27,6 +27,9 @@ _tried = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        # Needed to if-convert + vectorize the hue kernel (speculated FP
+        # division); nothing here relies on errno or FP traps.
+        "-fno-trapping-math", "-fno-math-errno",
         _SRC, "-o", _SO, "-lpng", "-lz",
     ]
     try:
@@ -63,6 +66,10 @@ def _load():
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int,
         ]
+        lib.hue_shift_f32.argtypes = [
+            f32p, f32p, ctypes.c_longlong, ctypes.c_float,
+        ]
+        lib.hue_shift_f32.restype = None
         for fn in ("arf_png_info", "png_decode_f32", "png_decode_kitti_flow",
                    "arf_ppm_info", "ppm_decode_f32", "arf_flo_info", "flo_decode"):
             getattr(lib, fn).restype = ctypes.c_int
@@ -134,6 +141,24 @@ def read_kitti_png(path: str) -> np.ndarray:
     out = np.empty((h.value, w.value, 3), np.float32)
     if lib.png_decode_kitti_flow(str(path).encode(), _fp(out)):
         raise IOError(f"kitti flow decode failed: {path}")
+    return out
+
+
+def hue_shift(img: np.ndarray, delta: float) -> np.ndarray:
+    """HSV hue rotation of an (..., 3) float32 RGB array by ``delta`` turns.
+
+    Bit-matches the numpy path in ``arflow_tpu/data/transforms.py`` (the
+    ColorJitter hue op); this is the input-pipeline hot spot on 1-core hosts.
+    """
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.float32)
+    assert img.shape[-1] == 3, img.shape
+    out = np.empty_like(img)
+    lib.hue_shift_f32(
+        _fp(img), _fp(out), ctypes.c_longlong(img.size // 3),
+        ctypes.c_float(delta),
+    )
     return out
 
 

@@ -11,6 +11,7 @@
 
 #include <png.h>
 
+#include <algorithm>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -311,6 +312,82 @@ void resize_bilinear_f32(const float* src, int h, int w, int c, float* dst,
         drow[x * c + k] = (1.0f - wy) * (wx0 * p00[k] + wx1 * p01[k]) +
                           wy * (wx0 * p10[k] + wx1 * p11[k]);
       }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// HSV hue shift (the ColorJitter hue op, photometric_transforms.py hue path).
+// Bit-matches arflow_tpu/data/transforms.py:_rgb_to_hsv -> +delta mod 1 ->
+// utils/viz.py:_hsv_to_rgb, in float32, so the numpy fallback and the native
+// path are interchangeable. The full numpy round-trip costs ~100 ms per
+// 2x384x512 sample on this host; this loop runs it in a few ms.
+// ---------------------------------------------------------------------------
+
+void hue_shift_f32(const float* src, float* dst, long long n_pixels,
+                   float delta) {
+  // Branchless (ternaries compile to SIMD blends; the whole loop
+  // auto-vectorizes 16-wide on AVX-512). Deinterleaved gather/scatter over
+  // a stack tile keeps the vector lanes contiguous.
+  constexpr long long TILE = 1024;
+  float rbuf[TILE], gbuf[TILE], bbuf[TILE];
+  for (long long base = 0; base < n_pixels; base += TILE) {
+    const long long n = std::min(TILE, n_pixels - base);
+    const float* sp = src + 3 * base;
+    for (long long i = 0; i < n; ++i) {
+      rbuf[i] = sp[3 * i];
+      gbuf[i] = sp[3 * i + 1];
+      bbuf[i] = sp[3 * i + 2];
+    }
+    for (long long i = 0; i < n; ++i) {
+      const float r = rbuf[i], g = gbuf[i], b = bbuf[i];
+      const float maxc = std::max(r, std::max(g, b));
+      const float minc = std::min(r, std::min(g, b));
+      const float v = maxc;
+      const float deltac = maxc - minc;
+      const float s =
+          maxc > 0.0f ? deltac / std::max(maxc, 1e-12f) : 0.0f;
+      const float inv_d = deltac == 0.0f ? 0.0f : 1.0f / deltac;
+      const float rc = (maxc - r) * inv_d;
+      const float gc = (maxc - g) * inv_d;
+      const float bc = (maxc - b) * inv_d;
+      // deltac==0 forces rc=gc=bc=0, so every branch yields h in {0,2/6,4/6}
+      // pre-shift; the reference zeroes it — do the same via the blend.
+      float h = r == maxc ? (bc - gc)
+                          : (g == maxc ? 2.0f + rc - bc : 4.0f + gc - rc);
+      h = deltac == 0.0f ? 0.0f : h;
+      h = h * (1.0f / 6.0f);
+      h -= std::floor(h);
+      h += delta;
+      h -= std::floor(h);
+      const float f6 = h * 6.0f;
+      const float fi = std::floor(f6);  // in [0, 5] since h in [0, 1)
+      const float f = f6 - fi;
+      const float p = v * (1.0f - s);
+      const float q = v * (1.0f - s * f);
+      const float t = v * (1.0f - s * (1.0f - f));
+      // Sector table (matches utils/viz.py:_hsv_to_rgb):
+      //   i: 0:(v,t,p) 1:(q,v,p) 2:(p,v,t) 3:(p,q,v) 4:(t,p,v) 5:(v,p,q)
+      rbuf[i] = fi == 0.0f ? v
+              : fi == 1.0f ? q
+              : fi == 2.0f ? p
+              : fi == 3.0f ? p
+              : fi == 4.0f ? t : v;
+      gbuf[i] = fi == 0.0f ? t
+              : fi == 1.0f ? v
+              : fi == 2.0f ? v
+              : fi == 3.0f ? q : p;
+      bbuf[i] = fi == 0.0f ? p
+              : fi == 1.0f ? p
+              : fi == 2.0f ? t
+              : fi == 3.0f ? v
+              : fi == 4.0f ? v : q;
+    }
+    float* dp = dst + 3 * base;
+    for (long long i = 0; i < n; ++i) {
+      dp[3 * i] = rbuf[i];
+      dp[3 * i + 1] = gbuf[i];
+      dp[3 * i + 2] = bbuf[i];
     }
   }
 }

@@ -1,0 +1,115 @@
+"""Disk -> batch input-pipeline throughput benchmark.
+
+Measures whether the threaded DataLoader + native C++ decoders can feed the
+TPU train step from disk on this host. Builds a synthetic on-disk
+FlyingChairs-style dataset (PPM pairs + .flo GT at the real 384x512
+resolution), runs the REAL pipeline from configs/chairs_uflow.json (hflip
+geometric aug + hue/channel-swap photometric aug), and reports samples/s.
+
+Yardstick: the round-1 UFlow train step consumes 97.1 samples/s
+(82.4 ms/step @ b8, BASELINE.md); the loader should sustain >=2x that so the
+accelerator never starves even with transfer overhead.
+
+Usage: python benchmarks/bench_input_pipeline.py [--n 256] [--workers 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_chairs_dir(root: Path, n: int, h: int = 384, w: int = 512) -> None:
+    rng = np.random.RandomState(0)
+    # A handful of distinct images re-written under many names: disk reads
+    # and decode cost are what we measure, not RNG throughput.
+    protos = [rng.randint(0, 256, (h, w, 3), np.uint8) for _ in range(4)]
+    flow = np.zeros((h, w, 2), np.float32)
+    flo_bytes = (
+        b"PIEH"
+        + np.array([w, h], np.int32).tobytes()
+        + flow.astype(np.float32).tobytes()
+    )
+    header = f"P6\n{w} {h}\n255\n".encode()
+    for i in range(1, n + 1):
+        for k in (1, 2):
+            img = protos[(i + k) % len(protos)]
+            (root / f"{i:05d}_img{k}.ppm").write_bytes(header + img.tobytes())
+        (root / f"{i:05d}_flow.flo").write_bytes(flo_bytes)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256, help="dataset size (pairs)")
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prefetch", type=int, default=4)
+    args = ap.parse_args()
+
+    from arflow_tpu.config import Config
+    from arflow_tpu.data.get_dataset import get_dataset
+    from arflow_tpu.data.loader import DataLoader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        t0 = time.perf_counter()
+        make_chairs_dir(root, args.n)
+        print(f"dataset written in {time.perf_counter() - t0:.1f}s")
+
+        cfg = Config(
+            {
+                "data": [
+                    {
+                        "root_chairs": str(root),
+                        "type": "train",
+                        "name": "Chairs",
+                        "n_frames": 2,
+                        "geometric_aug": {"hflip": True},
+                        "photometric_aug": {"hue": 0.5, "swap_channels": True},
+                    }
+                ]
+            }
+        )
+        train_set, _ = get_dataset(cfg, seed=0)
+        loader = DataLoader(
+            train_set,
+            batch_size=args.batch,
+            shuffle=True,
+            num_workers=args.workers,
+            drop_last=True,
+            prefetch=args.prefetch,
+        )
+
+        # Warm epoch (page cache, thread spin-up), then timed epoch.
+        for _ in loader:
+            pass
+        t0 = time.perf_counter()
+        nb = 0
+        for batch in loader:
+            nb += 1
+        dt = time.perf_counter() - t0
+        samples_s = nb * args.batch / dt
+        step_consumption = 97.1  # round-1 train step samples/s (BASELINE.md)
+        print(
+            json.dumps(
+                {
+                    "metric": "input_pipeline_samples_per_s",
+                    "value": round(samples_s, 1),
+                    "unit": "samples/s",
+                    "batches": nb,
+                    "epoch_s": round(dt, 2),
+                    "vs_train_step_consumption": round(
+                        samples_s / step_consumption, 2
+                    ),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,55 @@ def test_loader_propagates_errors():
     loader = DataLoader(Bad(), batch_size=1)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_loader_prefetch_is_bounded():
+    """A slow consumer must back-pressure decoding to <= prefetch batches."""
+    import time
+
+    decoded = []
+
+    class Tracking:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            decoded.append(i)
+            return {"x": np.float32(i)}
+
+    prefetch = 3
+    loader = DataLoader(Tracking(), batch_size=1, num_workers=4,
+                        prefetch=prefetch)
+    it = iter(loader)
+    next(it)  # consume one, then stall
+    time.sleep(0.3)  # give workers ample time to run ahead if unbounded
+    # 1 consumed + at most `prefetch` outstanding (permits released on
+    # consume, so a new decode may start for the consumed one).
+    assert len(decoded) <= 1 + prefetch + 1, decoded
+    rest = list(it)
+    assert len(rest) == 63
+    assert sorted(decoded) == list(range(64))
+
+
+def test_loader_early_abandon_stops_workers():
+    """Breaking out of iteration must not leave threads decoding forever."""
+    import threading as _threading
+    import time
+
+    class Slow:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            time.sleep(0.005)
+            return {"x": np.float32(i)}
+
+    before = _threading.active_count()
+    loader = DataLoader(Slow(), batch_size=1, num_workers=2, prefetch=2)
+    for n, _ in enumerate(loader):
+        if n == 2:
+            break
+    deadline = time.time() + 2.0
+    while _threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert _threading.active_count() <= before

@@ -37,6 +37,27 @@ def load_image(path) -> np.ndarray:
     return arr
 
 
+def load_image_stack(paths) -> np.ndarray:
+    """Decode N same-sized frames into one (N, H, W, 3) array.
+
+    Native path decodes straight into slices of the stacked buffer (no
+    per-frame intermediate + np.stack copy — ~2 ms/sample on the training
+    input path); falls back to stacking individual decodes.
+    """
+    from arflow_tpu import native
+
+    if native.available() and all(native.supports(p) for p in paths):
+        try:
+            h, w, _ = native.image_shape(str(paths[0]))
+            out = np.empty((len(paths), h, w, 3), np.float32)
+            for i, p in enumerate(paths):
+                native.load_image(str(p), out=out[i])
+            return out
+        except Exception:
+            pass
+    return np.stack([load_image(p) for p in paths])
+
+
 class ImgSeqDataset(ABC):
     def __init__(self, root, n_frames=2, geometric_transform=None,
                  photometric_transform=None):
@@ -51,7 +72,7 @@ class ImgSeqDataset(ABC):
         ...
 
     def _load_sample(self, s):
-        images = np.stack([load_image(self.root / p) for p in s["imgs"]])
+        images = load_image_stack([self.root / p for p in s["imgs"]])
         target = {}
         if "flow" in s:
             target["flow"] = load_flow(self.root / s["flow"]).astype(np.float32)

@@ -38,7 +38,10 @@ def get_dataset(all_cfg, seed: int = 0):
         )
         photometric_transform = (
             get_photometric_transforms(cfg.photometric_aug, rng)
-            if "photometric_aug" in cfg
+            # "device": true moves this aug into the jitted train step
+            # (arflow_tpu/data/device_aug.py); the dataset then emits no
+            # _ph copies and the host does no HSV math.
+            if "photometric_aug" in cfg and not cfg.photometric_aug.get("device")
             else None
         )
         valid_transform = (

@@ -131,13 +131,15 @@ class ColorJitter:
     def __call__(self, img):
         img = np.asarray(img, np.float32)
         ops = []
+        # NB: factors must be bound as default args — a bare closure over a
+        # reused loop variable would make every op apply the last factor.
         if self.brightness > 0:
             f = self.rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda x: np.clip(x * f, 0, 1))
+            ops.append(lambda x, f=f: np.clip(x * f, 0, 1))
         if self.contrast > 0:
             f = self.rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
             ops.append(
-                lambda x: np.clip(
+                lambda x, f=f: np.clip(
                     _grayscale(x).mean(axis=(-3, -2, -1), keepdims=True)
                     * (1 - f)
                     + x * f,
@@ -147,7 +149,9 @@ class ColorJitter:
             )
         if self.saturation > 0:
             f = self.rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            ops.append(lambda x: np.clip(_grayscale(x) * (1 - f) + x * f, 0, 1))
+            ops.append(
+                lambda x, f=f: np.clip(_grayscale(x) * (1 - f) + x * f, 0, 1)
+            )
         if self.hue > 0:
             d = self.rng.uniform(-self.hue, self.hue)
 

@@ -86,8 +86,8 @@ def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def load_image(path: str, channels: int = 3) -> np.ndarray:
-    """Decode PNG/PPM/PGM to float32 [0,1] (H, W, channels)."""
+def image_shape(path: str):
+    """(H, W, C) of a PNG/PPM/PGM without decoding it."""
     lib = _load()
     assert lib is not None
     path_b = str(path).encode()
@@ -96,20 +96,41 @@ def load_image(path: str, channels: int = 3) -> np.ndarray:
     c = ctypes.c_int()
     lower = str(path).lower()
     if lower.endswith(".png"):
-        if lib.arf_png_info(path_b, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
-            raise IOError(f"png_info failed: {path}")
-        out = np.empty((h.value, w.value, channels), np.float32)
+        info = lib.arf_png_info
+    elif lower.endswith((".ppm", ".pgm", ".pnm")):
+        info = lib.arf_ppm_info
+    else:
+        raise ValueError(f"unsupported extension: {path}")
+    if info(path_b, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
+        raise IOError(f"image info failed: {path}")
+    return h.value, w.value, c.value
+
+
+def load_image(path: str, channels: int = 3, out: np.ndarray | None = None
+               ) -> np.ndarray:
+    """Decode PNG/PPM/PGM to float32 [0,1] (H, W, channels).
+
+    ``out`` may be a preallocated C-contiguous (H, W, channels) float32
+    buffer (e.g. a slice of a stacked frame array) to decode into — avoids
+    one full-image copy per frame on the training input path.
+    """
+    lib = _load()
+    assert lib is not None
+    h, w, _ = image_shape(path)
+    if out is None:
+        out = np.empty((h, w, channels), np.float32)
+    else:
+        assert out.shape == (h, w, channels) and out.dtype == np.float32
+        assert out.flags.c_contiguous
+    path_b = str(path).encode()
+    lower = str(path).lower()
+    if lower.endswith(".png"):
         if lib.png_decode_f32(path_b, _fp(out), channels):
             raise IOError(f"png_decode failed: {path}")
-        return out
-    if lower.endswith((".ppm", ".pgm", ".pnm")):
-        if lib.arf_ppm_info(path_b, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
-            raise IOError(f"ppm_info failed: {path}")
-        out = np.empty((h.value, w.value, channels), np.float32)
+    else:
         if lib.ppm_decode_f32(path_b, _fp(out), channels):
             raise IOError(f"ppm_decode failed: {path}")
-        return out
-    raise ValueError(f"unsupported extension: {path}")
+    return out
 
 
 def supports(path: str) -> bool:

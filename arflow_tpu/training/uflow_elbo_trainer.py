@@ -103,6 +103,7 @@ class UFlowElboTrainer(BaseTrainer):
         self._maybe_stage1()
         profiling = self.maybe_profile()
 
+        metric_keys = ("total", "l_ph", "l_sm", "entropy", "l_oof")
         for i_step, data in enumerate(self.train_loader):
             if i_step > self.cfg.epoch_size:
                 break
@@ -118,18 +119,14 @@ class UFlowElboTrainer(BaseTrainer):
             self.state, metrics = self._train_step(
                 self.state, batch["img1"], batch["img2"], self._step_rng()
             )
-            loss = float(metrics["total"])
-            assert not np.isnan(loss), "training loss is NaN"
-            key_meters.update(
-                [loss, float(metrics["l_ph"]), float(metrics["l_sm"]),
-                 float(metrics["entropy"]), float(metrics["l_oof"])],
-                img1.shape[0],
-            )
             am_batch_time.update(timer.lap())
-            self._log_train_step(
-                i_step, key_meters, self.KEY_METERS, am_batch_time, am_data_time
+            self._queue_step_metrics(
+                metrics, metric_keys, img1.shape[0], i_step, key_meters,
+                self.KEY_METERS, am_batch_time, am_data_time,
             )
             self.i_iter += 1
+        self._flush_metrics(metric_keys, key_meters, self.KEY_METERS,
+                            am_batch_time, am_data_time)
         self.stop_profile(profiling)
         self.i_epoch += 1
 

@@ -24,10 +24,24 @@ class UFlowTrainer(BaseTrainer):
     def _model_inputs_from_batch(self, batch):
         return [batch["img1"], batch["img2"]]
 
+    def _device_photometric(self):
+        """(sample_params, apply) when device-side aug is configured."""
+        cached = getattr(self, "_device_ph", False)
+        if cached is False:
+            from arflow_tpu.data.device_aug import (
+                device_photometric_cfg,
+                make_photometric,
+            )
+
+            ph_cfg = device_photometric_cfg(self.full_cfg)
+            self._device_ph = make_photometric(ph_cfg) if ph_cfg else None
+        return self._device_ph
+
     def _build_train_step(self):
         model, loss_func, tx = self.model, self.loss_func, self.tx
+        device_ph = self._device_photometric()
 
-        def train_step(state, img1, img2, img1_ph, img2_ph, rng):
+        def step_body(state, img1, img2, img1_ph, img2_ph, rng):
             def loss_fn(params):
                 res = model.apply(
                     {"params": params},
@@ -48,6 +62,21 @@ class UFlowTrainer(BaseTrainer):
                 k: out[k] for k in ("total", "l_ph", "l_sm", "flow_mean")
             }
             return new_state, metrics
+
+        if device_ph is None:
+            return jax.jit(step_body, donate_argnums=(0,))
+
+        sample_params, apply_ph = device_ph
+
+        def train_step(state, img1, img2, rng):
+            # Augment on-device: one params draw per sample, shared by both
+            # frames (the CPU path transforms the stacked frames together).
+            rng_aug, rng_drop = jax.random.split(rng)
+            params_ph = sample_params(rng_aug, img1.shape[0])
+            ph = apply_ph(jnp.stack([img1, img2], axis=1), params_ph)
+            return step_body(
+                state, img1, img2, ph[:, 0], ph[:, 1], rng_drop
+            )
 
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -70,43 +99,51 @@ class UFlowTrainer(BaseTrainer):
         self._maybe_stage1()
         profiling = self.maybe_profile()
 
+        metric_keys = ("total", "l_ph", "l_sm", "flow_mean")
         for i_step, data in enumerate(self.train_loader):
             if i_step > self.cfg.epoch_size:
                 break
             img1, img2 = data["img1"], data["img2"]
-            img1_ph = data.get("img1_ph", img1)
-            img2_ph = data.get("img2_ph", img2)
-            trimmed = self._trim_batch([img1, img2, img1_ph, img2_ph])
-            if trimmed is None:
-                continue
-            img1, img2, img1_ph, img2_ph = trimmed
-            self._ensure_init({"img1": img1, "img2": img2})
-            batch = self._shard(
-                {"img1": img1, "img2": img2, "img1_ph": img1_ph, "img2_ph": img2_ph}
-            )
-            am_data_time.update(timer.lap())
-
-            self.state, metrics = self._train_step(
-                self.state,
-                batch["img1"],
-                batch["img2"],
-                batch["img1_ph"],
-                batch["img2_ph"],
-                self._step_rng(),
-            )
-            loss = float(metrics["total"])
-            assert not np.isnan(loss), "training loss is NaN"
-
-            key_meters.update(
-                [loss, float(metrics["l_ph"]), float(metrics["l_sm"]),
-                 float(metrics["flow_mean"])],
-                img1.shape[0],
-            )
+            if self._device_photometric() is not None:
+                trimmed = self._trim_batch([img1, img2])
+                if trimmed is None:
+                    continue
+                img1, img2 = trimmed
+                self._ensure_init({"img1": img1, "img2": img2})
+                batch = self._shard({"img1": img1, "img2": img2})
+                am_data_time.update(timer.lap())
+                self.state, metrics = self._train_step(
+                    self.state, batch["img1"], batch["img2"], self._step_rng()
+                )
+            else:
+                img1_ph = data.get("img1_ph", img1)
+                img2_ph = data.get("img2_ph", img2)
+                trimmed = self._trim_batch([img1, img2, img1_ph, img2_ph])
+                if trimmed is None:
+                    continue
+                img1, img2, img1_ph, img2_ph = trimmed
+                self._ensure_init({"img1": img1, "img2": img2})
+                batch = self._shard(
+                    {"img1": img1, "img2": img2, "img1_ph": img1_ph,
+                     "img2_ph": img2_ph}
+                )
+                am_data_time.update(timer.lap())
+                self.state, metrics = self._train_step(
+                    self.state,
+                    batch["img1"],
+                    batch["img2"],
+                    batch["img1_ph"],
+                    batch["img2_ph"],
+                    self._step_rng(),
+                )
             am_batch_time.update(timer.lap())
-            self._log_train_step(
-                i_step, key_meters, self.KEY_METERS, am_batch_time, am_data_time
+            self._queue_step_metrics(
+                metrics, metric_keys, img1.shape[0], i_step, key_meters,
+                self.KEY_METERS, am_batch_time, am_data_time,
             )
             self.i_iter += 1
+        self._flush_metrics(metric_keys, key_meters, self.KEY_METERS,
+                            am_batch_time, am_data_time)
         self.stop_profile(profiling)
         self.i_epoch += 1
 

@@ -123,6 +123,43 @@ def test_uflow_trainer_e2e(tmp_path, rng):
     )
 
 
+def test_uflow_trainer_device_aug_e2e(tmp_path, rng):
+    """Photometric aug flagged "device": true runs inside the jitted train
+    step; the loader ships no _ph copies and training still converges/steps."""
+    cfg = make_cfg("uflow")
+    cfg["data"] = [
+        {
+            "type": "train",
+            "name": "Chairs",
+            "photometric_aug": {
+                "hue": 0.5, "swap_channels": True, "device": True,
+            },
+        }
+    ]
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    # No _ph keys at all: device aug must not depend on them.
+    train_samples = synthetic_samples(rng, 2 * B, with_flow=False)
+    for s in train_samples:
+        del s["img1_ph"], s["img2_ph"]
+    train_loader = DataLoader(
+        InMemoryDataset(train_samples), batch_size=B, drop_last=True
+    )
+    valid_loader = [
+        DataLoader(InMemoryDataset(synthetic_samples(rng, 2)), batch_size=1)
+    ]
+    model = get_model(cfg.model)
+    loss = get_loss(cfg.loss)
+    trainer = get_trainer(cfg.trainer)(
+        train_loader, valid_loader, model, loss, logging.getLogger("test"),
+        str(tmp_path), cfg.train, model_cfg=cfg.model, full_cfg=cfg,
+    )
+    assert trainer._device_photometric() is not None
+    trainer.train()
+    assert trainer.i_iter >= 2
+    assert trainer.best_error < np.inf
+
+
 def test_uflow_elbo_trainer_e2e(tmp_path, rng):
     cfg = make_cfg(
         "uflow_elbo",

@@ -92,7 +92,10 @@ def get_dataset(all_cfg, seed: int = 0):
                 train_set.append(
                     Chairs(
                         cfg.root_chairs, n_frames=cfg.n_frames,
-                        split=cfg.get("split", "train"), with_flow=False,
+                        split=cfg.get("split", "train"),
+                        # Supervised (mse) training needs GT flow in the
+                        # train stream; unsupervised configs leave it off.
+                        with_flow=cfg.get("with_flow", False),
                         geometric_transform=geometric_transform,
                         photometric_transform=photometric_transform,
                     )

@@ -21,4 +21,11 @@ def get_trainer(name: str):
         from arflow_tpu.training.uflow_elbo_trainer import UFlowElboTrainer
 
         return UFlowElboTrainer
+    if name in ("mse", "ChairsMse"):
+        # The reference ships "ChairsMse" configs its own factory never
+        # learned (trainer/get_trainer.py raises) — here the supervised
+        # path is trainable (training/mse_trainer.py).
+        from arflow_tpu.training.mse_trainer import MseTrainer
+
+        return MseTrainer
     raise NotImplementedError(name)

@@ -160,6 +160,56 @@ def test_uflow_trainer_device_aug_e2e(tmp_path, rng):
     assert trainer.best_error < np.inf
 
 
+def test_mse_supervised_trainer_e2e(tmp_path, rng):
+    """Supervised path end-to-end: GT flow in the train stream, MseLoss
+    (nondiag inv_cov, the chairs_uflow_mse.json parametrization), EPE
+    validation. The reference ships this config but cannot train it
+    (trainer/get_trainer.py lacks "ChairsMse")."""
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    cfg = make_cfg(
+        "mse",
+        loss_overrides={
+            "type": "mse",
+            "w_mse": 1.0,
+            "w_entropy": 0.1,
+            "diag": False,
+            # Without diagonal dominance the random-init triangular solve
+            # blows up geometrically (DIVERGENCES.md #22).
+            "diag_dominant": True,
+            "inv_cov": True,
+            "approx_entropy": False,
+            "offdiag_reg": 1000.0,
+            "n_samples": 1,
+            "align_corners": False,
+        },
+        model_overrides={
+            "type": "uflow_prob",
+            "out_channels": 8,
+            "inv_cov": True,
+            "n_pyramids": 1,
+            "mixture_weights": False,
+        },
+    )
+    train_loader = DataLoader(
+        InMemoryDataset(synthetic_samples(rng, 3 * B, with_flow=True)),
+        batch_size=B, shuffle=True, drop_last=True,
+    )
+    valid_loader = [
+        DataLoader(InMemoryDataset(synthetic_samples(rng, 2)), batch_size=1)
+    ]
+    model = get_model(cfg.model)
+    loss = get_loss(cfg.loss)
+    trainer = get_trainer(cfg.trainer)(
+        train_loader, valid_loader, model, loss, logging.getLogger("test"),
+        str(tmp_path), cfg.train, model_cfg=cfg.model, full_cfg=cfg,
+    )
+    trainer.train()
+    assert trainer.i_iter >= 2
+    assert trainer.best_error < np.inf
+    assert list(tmp_path.glob("Chairs_*")), "no checkpoint written"
+
+
 def test_uflow_elbo_trainer_e2e(tmp_path, rng):
     cfg = make_cfg(
         "uflow_elbo",

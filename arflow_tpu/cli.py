@@ -109,6 +109,9 @@ def train_cli(argv=None):
         cfg.train.update(
             {
                 "batch_size": 16,
+                # Eval batches shard over the device mesh (padded to a mesh
+                # multiple) — see BaseTrainer._shard_eval_batch.
+                "valid_batch_size": 16,
                 "epoch_num": 1,
                 "epoch_size": -1,
                 "valid_size": 0,

@@ -138,13 +138,15 @@ class MseTrainer(BaseTrainer):
             error_meters = AverageMeter(i=len(error_names))
             last = None
             for i_step, data in enumerate(loader):
-                img1 = jnp.asarray(data["img1"])
-                img2 = jnp.asarray(data["img2"])
+                sb, n = self._shard_eval_batch(
+                    {"img1": np.asarray(data["img1"]),
+                     "img2": np.asarray(data["img2"])}
+                )
                 gt_flows = np.asarray(data["target"]["flow"])
-                pred = eval_step(self.state, img1, img2)
-                pred_np = np.asarray(pred)
+                pred = eval_step(self.state, sb["img1"], sb["img2"])
+                pred_np = np.asarray(pred)[:n]
                 es = evaluate_flow(list(gt_flows), list(pred_np))
-                error_meters.update([float(e) for e in es], img1.shape[0])
+                error_meters.update([float(e) for e in es], n)
                 last = (gt_flows, pred_np)
                 if i_step % self.cfg.print_freq == 0 or i_step == len(loader) - 1:
                     self._log.info(

@@ -139,6 +139,25 @@ class BaseTrainer:
             return arrays if usable else None
         return [a[:usable] for a in arrays]
 
+    def _shard_eval_batch(self, batch):
+        """Shard a validation batch over the mesh for data-parallel eval.
+
+        Pads to a multiple of the mesh size by repeating the last sample
+        (static shapes — no recompile per remainder) and returns
+        ``(sharded_batch, n_valid)``; callers slice per-sample outputs back
+        to ``n_valid``. Batched scalar loss metrics computed over a padded
+        batch include the duplicates — only the final partial batch of an
+        eval set is affected, per-sample metrics (EPE etc.) never are.
+        """
+        n = next(iter(batch.values())).shape[0]
+        pad = (-n) % self.n_devices
+        if pad:
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()
+            }
+        return self._shard(batch), n
+
     def _step_rng(self):
         return jax.random.fold_in(
             jax.random.PRNGKey(self.cfg.get("seed", 0) + 7919), self.i_iter

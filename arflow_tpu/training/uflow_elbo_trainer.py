@@ -20,6 +20,28 @@ from arflow_tpu.utils.metrics import CalibrationCurve, evaluate_flow, evaluate_u
 from arflow_tpu.utils.viz import batch_flow2rgb
 
 
+def _draw_weights(images, weights):
+    """Render each sample's mixture weight as text onto its flow image.
+
+    ``images``: (B, H, W, 3) float [0,1]; ``weights``: (B,) floats.
+    Reference: trainer/uflow_elbo_trainer.py:246-255 (PIL text, top-left).
+    Falls back to the untouched images when PIL is unavailable.
+    """
+    try:
+        import PIL.Image
+        import PIL.ImageDraw
+    except Exception:  # pragma: no cover
+        return images
+    out = (np.asarray(images) * 255.0).astype(np.uint8)
+    for i in range(out.shape[0]):
+        pimg = PIL.Image.fromarray(out[i])
+        PIL.ImageDraw.Draw(pimg).text(
+            (4, 4), f"{float(weights[i]):.2f}", fill=(0, 0, 0)
+        )
+        out[i] = np.array(pimg)
+    return out.astype(np.float32) / 255.0
+
+
 class UFlowElboTrainer(BaseTrainer):
     KEY_METERS = ["Loss", "l_ph", "l_sm", "entropy", "l_oof"]
 
@@ -90,7 +112,8 @@ class UFlowElboTrainer(BaseTrainer):
             flows = res["flows_fw"]
             pred = flows[0][..., 0:2]
             uv_entropy = extract_uv_entropy(flows, loss_cfg, res, rng_e)
-            return out, pred, uv_entropy, flows[2]
+            weights = res.get("weights_fw")
+            return out, pred, uv_entropy, flows[2], flows[0], weights
 
         return jax.jit(eval_step)
 
@@ -156,21 +179,23 @@ class UFlowElboTrainer(BaseTrainer):
             last = None
 
             for i_step, data in enumerate(loader):
-                img1 = jnp.asarray(data["img1"])
-                img2 = jnp.asarray(data["img2"])
+                sb, n = self._shard_eval_batch(
+                    {"img1": np.asarray(data["img1"]),
+                     "img2": np.asarray(data["img2"])}
+                )
                 gt_flows = np.asarray(data["target"]["flow"])
-                out, pred, uv_entropy, flows_l2 = eval_step(
-                    self.state, img1, img2, self._step_rng()
+                out, pred, uv_entropy, flows_l2, flows_l0, weights = eval_step(
+                    self.state, sb["img1"], sb["img2"], self._step_rng()
                 )
                 error_values = [
                     float(out["total"]), float(out["l_ph"]), float(out["l_sm"]),
                     float(out["entropy"]), float(out["l_oof"]),
                 ]
-                pred_np = np.asarray(pred)
+                pred_np = np.asarray(pred)[:n]
                 error_values += [
                     float(e) for e in evaluate_flow(list(gt_flows), list(pred_np))
                 ]
-                ent_np = np.asarray(uv_entropy)
+                ent_np = np.asarray(uv_entropy)[:n]
                 if track_cc:
                     cc(list(gt_flows), list(pred_np), list(ent_np))
                 if track_auc:
@@ -182,8 +207,9 @@ class UFlowElboTrainer(BaseTrainer):
                     oplots += oplot
                     error_values += [float(a) for a in auc]
 
-                error_meters.update(error_values, img1.shape[0])
-                last = (data, out, pred_np, ent_np, flows_l2)
+                error_meters.update(error_values, n)
+                last = (data, out, pred_np, ent_np, flows_l2, flows_l0,
+                        weights, n)
                 if i_step % self.cfg.print_freq == 0 or i_step == len(loader) - 1:
                     self._log.info(
                         "Test: %d[%d/%d] %s", i_set, i_step, self.cfg.valid_size,
@@ -197,18 +223,27 @@ class UFlowElboTrainer(BaseTrainer):
                     f"Valid_{name}_{i_set}", value, self.i_epoch
                 )
             if last is not None:
-                data, out, pred_np, ent_np, flows_l2 = last
+                (data, out, pred_np, ent_np, flows_l2, flows_l0, weights,
+                 n) = last
                 np.save(
                     f"{self.save_root}/flow_fw_l2_{self.i_epoch}.npy",
-                    np.asarray(flows_l2),
+                    np.asarray(flows_l2)[:n],
                 )
                 gt = np.asarray(data["target"]["flow"])[..., :2]
                 self.summary_writer.add_images(
                     f"Valid/gt_{i_set}", batch_flow2rgb(gt), self.i_epoch
                 )
-                self.summary_writer.add_images(
-                    f"Valid/pred_{i_set}", batch_flow2rgb(pred_np), self.i_epoch
-                )
+                # Per-component predictions with the predicted mixture weight
+                # drawn onto each image (trainer/uflow_elbo_trainer.py:241-257).
+                flows_l0 = np.asarray(flows_l0)[:n]
+                weights_np = None if weights is None else np.asarray(weights)[:n]
+                for k in range(self.loss_func.cfg.get("n_components", 1)):
+                    comp = batch_flow2rgb(flows_l0[..., 2 * k : 2 * (k + 1)])
+                    if weights_np is not None:
+                        comp = _draw_weights(comp, weights_np[:, k])
+                    self.summary_writer.add_images(
+                        f"Valid/pred_{i_set}_{k}", comp, self.i_epoch
+                    )
                 ent = ent_np.sum(-1, keepdims=True)
                 ent = ent - ent.min()
                 ent = ent / max(ent.max(), 1e-12)
@@ -217,18 +252,18 @@ class UFlowElboTrainer(BaseTrainer):
                 )
                 self.summary_writer.add_images(
                     f"Valid/sample_flows_{i_set}",
-                    batch_flow2rgb(np.asarray(out["flow12_2"])),
+                    batch_flow2rgb(np.asarray(out["flow12_2"])[:n]),
                     self.i_epoch,
                 )
                 if out["occu_mask12"] is not None:
                     self.summary_writer.add_images(
                         f"Valid/occu_masks_{i_set}",
-                        np.asarray(out["occu_mask12"]),
+                        np.asarray(out["occu_mask12"])[:n],
                         self.i_epoch,
                     )
                 self.summary_writer.add_images(
                     f"Valid/valid_masks_{i_set}",
-                    np.asarray(out["valid_mask12"]),
+                    np.asarray(out["valid_mask12"])[:n],
                     self.i_epoch,
                 )
             if splots and oplots:

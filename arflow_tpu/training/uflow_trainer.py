@@ -165,14 +165,18 @@ class UFlowTrainer(BaseTrainer):
             error_meters = AverageMeter(i=len(error_names))
             last = None
             for i_step, data in enumerate(loader):
-                img1 = jnp.asarray(data["img1"])
-                img2 = jnp.asarray(data["img2"])
+                sb, n = self._shard_eval_batch(
+                    {"img1": np.asarray(data["img1"]),
+                     "img2": np.asarray(data["img2"])}
+                )
                 gt_flows = np.asarray(data["target"]["flow"])
-                out, pred = eval_step(self.state["params"], img1, img2)
-                pred_np = np.asarray(pred)
+                out, pred = eval_step(
+                    self.state["params"], sb["img1"], sb["img2"]
+                )
+                pred_np = np.asarray(pred)[:n]
                 es = evaluate_flow(list(gt_flows), list(pred_np))
-                error_meters.update([float(e) for e in es], img1.shape[0])
-                last = (data, out, pred_np)
+                error_meters.update([float(e) for e in es], n)
+                last = (data, out, pred_np, n)
                 if i_step % self.cfg.print_freq == 0 or i_step == len(loader) - 1:
                     self._log.info(
                         "Test: %d[%d/%d] %s", i_set, i_step, self.cfg.valid_size,
@@ -186,7 +190,7 @@ class UFlowTrainer(BaseTrainer):
                     f"Valid_{name}_{i_set}", value, self.i_epoch
                 )
             if last is not None:
-                data, out, pred_np = last
+                data, out, pred_np, n = last
                 gt = np.asarray(data["target"]["flow"])[..., :2]
                 self.summary_writer.add_images(
                     "Valid/gt", batch_flow2rgb(gt), self.i_epoch
@@ -195,7 +199,8 @@ class UFlowTrainer(BaseTrainer):
                     f"Valid/pred_{i_set}", batch_flow2rgb(pred_np), self.i_epoch
                 )
                 self.summary_writer.add_images(
-                    f"Valid/mask_{i_set}", np.asarray(out["mask1"]), self.i_epoch
+                    f"Valid/mask_{i_set}", np.asarray(out["mask1"])[:n],
+                    self.i_epoch,
                 )
             all_error_avgs.extend(error_meters.avg)
             all_error_names.extend(f"{n}_{i_set}" for n in error_names)

@@ -160,6 +160,36 @@ def test_uflow_trainer_device_aug_e2e(tmp_path, rng):
     assert trainer.best_error < np.inf
 
 
+def test_sharded_validation_matches_batch1(tmp_path, rng):
+    """Validation shards batched eval over the mesh (padding the remainder);
+    EPE must match the batch-1 reference numerics to float noise."""
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    cfg = make_cfg("uflow", model_overrides={"level_dropout": 0.0})
+    valid_samples = synthetic_samples(rng, 5, with_flow=True)  # 5 % 8 != 0
+    train_ds = InMemoryDataset(synthetic_samples(rng, B, with_flow=False))
+
+    def build(valid_batch):
+        cfg.train.valid_size = 10
+        trainer = get_trainer(cfg.trainer)(
+            DataLoader(train_ds, batch_size=B, drop_last=True),
+            [DataLoader(InMemoryDataset(valid_samples), batch_size=valid_batch)],
+            get_model(cfg.model), get_loss(cfg.loss),
+            logging.getLogger("test"), str(tmp_path), cfg.train,
+            model_cfg=cfg.model, full_cfg=cfg,
+        )
+        first = next(iter(trainer.train_loader))
+        trainer._ensure_init({"img1": first["img1"], "img2": first["img2"]})
+        return trainer
+
+    t1 = build(1)
+    errs1, names1 = t1._validate_with_gt()
+    t5 = build(5)  # one padded batch of 5 -> 8
+    errs5, names5 = t5._validate_with_gt()
+    assert names1 == names5
+    np.testing.assert_allclose(errs1, errs5, rtol=1e-4, atol=1e-5)
+
+
 def test_mse_supervised_trainer_e2e(tmp_path, rng):
     """Supervised path end-to-end: GT flow in the train stream, MseLoss
     (nondiag inv_cov, the chairs_uflow_mse.json parametrization), EPE
@@ -248,6 +278,55 @@ def test_uflow_elbo_trainer_e2e(tmp_path, rng):
     trainer = run_trainer(cfg, tmp_path, rng)
     assert trainer.i_iter >= 2
     assert trainer.best_error < np.inf
+
+
+def test_uflow_elbo_mixture_trainer_e2e(tmp_path, rng):
+    """Mixture posterior (n_components=2, MixtureWeightsNet): per-component
+    prediction images with the predicted weight drawn on land in the summary
+    (reference trainer/uflow_elbo_trainer.py:241-257)."""
+    cfg = make_cfg(
+        "uflow_elbo",
+        loss_overrides={
+            "type": "uflow_elbo",
+            "edge_asymp": 0.01,
+            "penalty_smooth": "charbonnier",
+            "closed_form_smooth": False,
+            "isotropic_smooth": False,
+            "data_loss": ["census"],
+            "data_weight": [1.0],
+            "data_penalty": ["abs_robust_loss"],
+            "w_entropy": 0.3,
+            "w_oof": 0.0,
+            "w_occ": 0.0,
+            "approx": "mixture",
+            "n_components": 2,
+            "inv_cov": False,
+            "approx_entropy": False,
+            "occ_type": "sample",
+            "n_samples": 2,
+            "offdiag_reg": 0.0,
+            "natural_grad": False,
+        },
+        model_overrides={
+            "type": "uflow_prob",
+            "out_channels": [2, 2, 0],
+            "inv_cov": False,
+            "n_pyramids": 2,
+            "mixture_weights": True,
+        },
+    )
+    trainer = run_trainer(cfg, tmp_path, rng)
+    assert trainer.i_iter >= 2
+    import json as _json
+
+    events = [
+        _json.loads(line)
+        for line in (tmp_path / "events.jsonl").read_text().splitlines()
+    ]
+    image_tags = {e["tag"] for e in events if "image" in e}
+    # one flow image per mixture component, for each validation sample
+    assert any(t.startswith("Valid/pred_0_0/") for t in image_tags), image_tags
+    assert any(t.startswith("Valid/pred_0_1/") for t in image_tags), image_tags
 
 
 def test_uflow_elbo_sparse_trainer_e2e(tmp_path, rng):

@@ -56,14 +56,18 @@ class UFlowLoss:
         cfg = self.cfg
         flows_fw, flows_bw = res_dict["flows_fw"], res_dict["flows_bw"]
         flow12_0 = flows_fw[0][..., 0:2]
-        flow21_0 = flows_bw[0][..., 0:2]
         flow12_2 = flows_fw[2][..., 0:2]
-        flow21_2 = flows_bw[2][..., 0:2]
+
+        if cfg.with_bk:
+            return self._both_directions_batched(
+                res_dict, img1, img2, flow12_0, flow12_2
+            )
 
         # Warp images at full resolution.
         warp12_0 = flow_to_warp(flow12_0)
         im1_recons = resample(lax.stop_gradient(img2), warp12_0)
 
+        flow21_2 = flows_bw[2][..., 0:2]
         valid_mask1 = mask_invalid(warp12_0)
         occu_mask1 = jnp.clip(compute_range_map(flow21_2), 0.0, 1.0)
         occu_mask1 = upsample(occu_mask1, is_flow=False, scale_factor=4.0)
@@ -71,21 +75,9 @@ class UFlowLoss:
 
         loss_warp = cfg.w_census * census_loss(img1, im1_recons, mask1)
 
-        if cfg.with_bk:
-            warp21_0 = flow_to_warp(flow21_0)
-            im2_recons = resample(lax.stop_gradient(img1), warp21_0)
-            valid_mask2 = mask_invalid(warp21_0)
-            occu_mask2 = jnp.clip(compute_range_map(flow12_2), 0.0, 1.0)
-            occu_mask2 = upsample(occu_mask2, is_flow=False, scale_factor=4.0)
-            mask2 = lax.stop_gradient(occu_mask2 * valid_mask2)
-            loss_warp = loss_warp + cfg.w_census * census_loss(img2, im2_recons, mask2)
-
         # Smoothness at level 2.
         im1_2 = downsample(img1, is_flow=False, scale_factor=4.0)
         loss_smooth = self._smooth_one_direction(im1_2, flow12_2)
-        if cfg.with_bk:
-            im2_2 = downsample(img2, is_flow=False, scale_factor=4.0)
-            loss_smooth = loss_smooth + self._smooth_one_direction(im2_2, flow21_2)
 
         total = loss_warp + loss_smooth
         flow_mean = jnp.mean(
@@ -97,4 +89,61 @@ class UFlowLoss:
             "l_sm": loss_smooth,
             "flow_mean": flow_mean,
             "mask1": mask1,
+        }
+
+    def _both_directions_batched(self, res_dict, img1, img2, flow12_0,
+                                 flow12_2):
+        """with_bk fast path: both directions ride ONE batched pipeline.
+
+        TPU-first: the fw and bw losses are the same program on swapped
+        inputs, so every memory-bound stage (4-tap warp gather, range-map
+        scatter, census transform, upsample/downsample) runs once at 2B
+        instead of twice at B — half the kernel launches and better VPU/
+        HBM utilization. Per-direction census normalization is preserved
+        via ``census_loss(num_groups=2)``; the summed losses are bitwise
+        the same math as the sequential path.
+        """
+        cfg = self.cfg
+        flows_fw, flows_bw = res_dict["flows_fw"], res_dict["flows_bw"]
+        flow21_0 = flows_bw[0][..., 0:2]
+        flow21_2 = flows_bw[2][..., 0:2]
+
+        flow_0 = jnp.concatenate([flow12_0, flow21_0], axis=0)
+        sources = jnp.concatenate([img2, img1], axis=0)
+        targets = jnp.concatenate([img1, img2], axis=0)
+
+        warp_0 = flow_to_warp(flow_0)
+        recons = resample(lax.stop_gradient(sources), warp_0)
+        valid_mask = mask_invalid(warp_0)
+        # Occlusion from the OPPOSITE direction's range map at level 2.
+        occu = jnp.clip(
+            compute_range_map(
+                jnp.concatenate([flow21_2, flow12_2], axis=0)
+            ),
+            0.0,
+            1.0,
+        )
+        occu = upsample(occu, is_flow=False, scale_factor=4.0)
+        mask = lax.stop_gradient(occu * valid_mask)
+        per_dir = census_loss(targets, recons, mask, num_groups=2)
+        loss_warp = cfg.w_census * jnp.sum(per_dir)
+
+        # Smoothness at level 2, both directions in one batch. The batched
+        # mean over 2B equals the average of the two per-direction means
+        # (equal group sizes); the reference sums them, hence the 2x.
+        im_2 = downsample(targets, is_flow=False, scale_factor=4.0)
+        flow_2 = jnp.concatenate([flow12_2, flow21_2], axis=0)
+        loss_smooth = 2.0 * self._smooth_one_direction(im_2, flow_2)
+
+        total = loss_warp + loss_smooth
+        flow_mean = jnp.mean(
+            jnp.abs(jnp.concatenate([flows_fw[0], flows_bw[0]], axis=-1))
+        )
+        b = img1.shape[0]
+        return {
+            "total": total,
+            "l_ph": loss_warp,
+            "l_sm": loss_smooth,
+            "flow_mean": flow_mean,
+            "mask1": mask[:b],
         }

@@ -81,13 +81,24 @@ def census_loss(
     image_b: jnp.ndarray,
     mask: jnp.ndarray,
     patch_size: int = 7,
+    num_groups: int = 1,
 ) -> jnp.ndarray:
-    """Masked census loss (utils/uflow_utils.py:282-293)."""
+    """Masked census loss (utils/uflow_utils.py:282-293).
+
+    ``num_groups > 1`` splits the batch into equal groups and returns one
+    loss per group (each normalized by its own mask sum) — lets callers
+    batch the forward and backward directions through ONE census/gather
+    pipeline and still get the reference's per-direction normalization.
+    """
     hamming, _ = _census_dist(image_a, image_b, patch_size)
     padded_mask = zero_mask_border(mask, patch_size)
     diff = abs_robust_loss(hamming) * padded_mask
-    denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
-    return jnp.sum(diff) / denom
+    if num_groups == 1:
+        denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
+        return jnp.sum(diff) / denom
+    diff_g = diff.reshape((num_groups, -1))
+    mask_g = lax.stop_gradient(padded_mask).reshape((num_groups, -1))
+    return jnp.sum(diff_g, axis=1) / (jnp.sum(mask_g, axis=1) + 1e-6)
 
 
 def census_loss_no_penalty(

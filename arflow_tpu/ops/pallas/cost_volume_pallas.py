@@ -59,9 +59,8 @@ def supported(f1_shape, max_displacement: int) -> bool:
     if len(f1_shape) != 4:
         return False
     _, h, w, c = f1_shape
-    if h % 8 != 0 and h > 8:
-        # uneven H tiles would need masked edge handling; fall back.
-        pass
+    # _tile_h returns 0 for shapes the kernel can't tile (uneven H tiles
+    # would need masked edge handling) — those fall back to the XLA path.
     return _tile_h(h, w, c, max_displacement) > 0
 
 

@@ -392,7 +392,9 @@ def inverse_l1norm(a, b, c, n_iter: int = 100):
     (utils/triag_solve.py:268-307). a: (M,N); b: (M,N-1); c: (M-1,N).
 
     Eval-only diagnostic (the reference used it as an exploding-posterior
-    detector); implemented as a host-side loop of device solves.
+    detector); implemented as a host-side loop of device solves with a
+    float() sync per iteration. NEVER call inside a train step or under
+    jit — it would force ``n_iter`` device round-trips per invocation.
     """
     m, n = a.shape
     a4 = a[None, :, :, None]

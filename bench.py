@@ -77,6 +77,31 @@ def main():
     dt = max(fwd - rtt, 1e-6)
     maps_per_sec = batch / dt
 
+    # FLOPs from the compiled program (XLA cost analysis); MFU against the
+    # chip's bf16 MXU peak (TPU v5e: 197 TFLOP/s — f32 convs run on the same
+    # MXU via multi-pass, so bf16 peak is the honest denominator).
+    PEAK_TFLOPS = 197.0
+    flops = None
+    try:
+        an = (
+            forward_reduced.lower(variables["params"], img1, img2)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        flops = float(an.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    extra = {}
+    if flops:
+        tflops_s = flops / dt / 1e12
+        extra = {
+            "program_gflops_per_batch": round(flops / 1e9, 1),
+            "tflops_per_s": round(tflops_s, 2),
+            "mfu_pct_of_bf16_peak": round(100.0 * tflops_s / PEAK_TFLOPS, 2),
+        }
+
     print(
         json.dumps(
             {
@@ -84,6 +109,7 @@ def main():
                 "value": round(maps_per_sec, 3),
                 "unit": "flow_maps/s",
                 "vs_baseline": round(maps_per_sec / REFERENCE_CPU_MAPS_PER_SEC, 2),
+                **extra,
             }
         )
     )

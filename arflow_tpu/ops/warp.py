@@ -96,7 +96,15 @@ def bilinear_gather(
     ph, pw = packed.shape[1], packed.shape[2]
     flat = packed.reshape(b, ph * pw, 4 * c)
     idx = (iy * pw + ix).reshape(b, -1, 1)
-    taps = jnp.take_along_axis(flat, idx, axis=1).reshape(x.shape + (4 * c,))
+    taps = jnp.take_along_axis(flat, idx, axis=1)
+    # MISCOMPILE GUARD (do not remove): on the TPU backend, fusing this
+    # gather with the 4D output reshape deterministically corrupts the
+    # gathered values for large flat indices (observed 2026-08-16: ~45% of
+    # taps wrong / NaN-filled at 8x256x448; values are bit-identical across
+    # runs, i.e. a compiler bug, not flaky hardware). The barrier keeps the
+    # gather un-fused from the reshape; verified to restore exact values.
+    taps = jax.lax.optimization_barrier(taps)
+    taps = taps.reshape(x.shape + (4 * c,))
 
     wx1 = (x - x0)[..., None]
     wy1 = (y - y0)[..., None]

@@ -108,13 +108,24 @@ class UFlowLoss:
         flow21_0 = flows_bw[0][..., 0:2]
         flow21_2 = flows_bw[2][..., 0:2]
 
-        flow_0 = jnp.concatenate([flow12_0, flow21_0], axis=0)
-        sources = jnp.concatenate([img2, img1], axis=0)
         targets = jnp.concatenate([img1, img2], axis=0)
 
-        warp_0 = flow_to_warp(flow_0)
-        recons = resample(lax.stop_gradient(sources), warp_0)
-        valid_mask = mask_invalid(warp_0)
+        # The full-res warp gathers stay per-direction: XLA's gather is
+        # ~3x slower per descriptor at the 2B source size (measured on
+        # TPU v5e), so batching THIS stage loses. Everything downstream
+        # (census, range-map, upsample, smoothness) wins batched.
+        warp12_0 = flow_to_warp(flow12_0)
+        warp21_0 = flow_to_warp(flow21_0)
+        recons = jnp.concatenate(
+            [
+                resample(lax.stop_gradient(img2), warp12_0),
+                resample(lax.stop_gradient(img1), warp21_0),
+            ],
+            axis=0,
+        )
+        valid_mask = mask_invalid(
+            jnp.concatenate([warp12_0, warp21_0], axis=0)
+        )
         # Occlusion from the OPPOSITE direction's range map at level 2.
         occu = jnp.clip(
             compute_range_map(

@@ -96,14 +96,25 @@ def bilinear_gather(
     ph, pw = packed.shape[1], packed.shape[2]
     flat = packed.reshape(b, ph * pw, 4 * c)
     idx = (iy * pw + ix).reshape(b, -1, 1)
-    taps = jnp.take_along_axis(flat, idx, axis=1)
-    # MISCOMPILE GUARD (do not remove): on the TPU backend, fusing this
-    # gather with the 4D output reshape deterministically corrupts the
-    # gathered values for large flat indices (observed 2026-08-16: ~45% of
-    # taps wrong / NaN-filled at 8x256x448; values are bit-identical across
-    # runs, i.e. a compiler bug, not flaky hardware). The barrier keeps the
-    # gather un-fused from the reshape; verified to restore exact values.
-    taps = jax.lax.optimization_barrier(taps)
+    hw = idx.shape[1]
+    # XLA's TPU gather falls off a per-descriptor performance cliff above
+    # ~1M indices in one op (measured: 7ns/px at 0.9M -> 25ns/px at 1.8M).
+    # Chunk the batch so each gather stays under ~0.5M descriptors: at
+    # 16x256x448 this is 3.7x faster than one big gather.
+    chunk_b = max(1, (512 * 1024) // max(hw, 1))
+    chunks = []
+    for i in range(0, b, chunk_b):
+        t = jnp.take_along_axis(flat[i : i + chunk_b], idx[i : i + chunk_b],
+                                axis=1)
+        # MISCOMPILE GUARD (do not remove): on the TPU backend, fusing this
+        # gather with the 4D output reshape deterministically corrupts the
+        # gathered values for large flat indices (observed 2026-08-16: ~45%
+        # of taps wrong / NaN-filled at 8x256x448; bit-identical across
+        # runs, i.e. a compiler bug, not flaky hardware). The barrier keeps
+        # the gather un-fused from the reshape; verified to restore exact
+        # values (tests/test_warp_gather_guard.py).
+        chunks.append(jax.lax.optimization_barrier(t))
+    taps = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     taps = taps.reshape(x.shape + (4 * c,))
 
     wx1 = (x - x0)[..., None]

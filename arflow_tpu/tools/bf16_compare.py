@@ -136,7 +136,10 @@ def main(steps: int = 300):
                 "epe_curve_bf16": curve_bf16,
                 "inference_flow_delta_px": deltas,
                 "accept_threshold": 0.05,
-                "bf16_epe_safe": abs(final_bf16 - final_f32) <= 0.05,
+                # One-sided: bf16 ending BETTER than f32 is safe by
+                # definition; only a worse final EPE (beyond the BASELINE
+                # north-star tolerance) rejects bf16.
+                "bf16_epe_safe": final_bf16 <= final_f32 + 0.05,
             }
         )
     )

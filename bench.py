@@ -102,6 +102,24 @@ def main():
             "mfu_pct_of_bf16_peak": round(100.0 * tflops_s / PEAK_TFLOPS, 2),
         }
 
+    # bf16 compute row (EPE-safe per BASELINE.md round-2 validation:
+    # bf16 trains to equal-or-better EPE; params/outputs stay f32).
+    try:
+        model_bf16 = PWCFlow(
+            level_dropout=0.0, feature_norm=True, dtype=jnp.bfloat16
+        )
+
+        @jax.jit
+        def forward_bf16(params, a, b):
+            out = model_bf16.apply({"params": params}, a, b, with_bk=False)
+            return jnp.sum(out["flows_fw"][0])
+
+        float(forward_bf16(variables["params"], img1, img2))
+        fwd16 = timed(forward_bf16, variables["params"], img1, img2)
+        extra["bf16_maps_per_sec"] = round(batch / max(fwd16 - rtt, 1e-6), 3)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {

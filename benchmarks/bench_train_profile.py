@@ -104,7 +104,7 @@ def main():
         l, g = jax.value_and_grad(lf)(p)
         u, o2 = tx.update(g, o, p)
         p2 = optax.apply_updates(p, u)
-        return l + jnp.sum(p2["feature_pyramid_extractor"]["convs_0_0"]["kernel"])
+        return l + jnp.sum(jax.tree_util.tree_leaves(p2)[0])
 
     t_fwd = timed(fwd_only, params, img1, img2) - rtt
     report("uflow_fwd_b8_256x448", t_fwd, B)
@@ -180,7 +180,7 @@ def main():
         l, g = jax.value_and_grad(lf)(p)
         u, o2 = tx.update(g, o, p)
         p2 = optax.apply_updates(p, u)
-        return l + jnp.sum(p2["feature_pyramid_extractor"]["convs_0_0"]["kernel"])
+        return l + jnp.sum(jax.tree_util.tree_leaves(p2)[0])
 
     key = jax.random.PRNGKey(1)
     t_efwd = timed(e_fwd, e_params, im1, im2) - rtt

@@ -80,6 +80,85 @@ def data_loss_no_penalty(
     return pixel_loss, pixel_weight, occu_mask_2, valid_mask_0
 
 
+def data_loss_no_penalty_bidir(
+    im1_0,
+    im2_0,
+    flow12_2,
+    flow21_2,
+    occ_type: str,
+    data_loss,
+    mean12_2=None,
+    mean21_2=None,
+):
+    """Both directions of ``data_loss_no_penalty`` through ONE batched
+    pipeline (TPU-first fast path, same trick as losses/uflow.py).
+
+    The fw and bw data losses are the same program on swapped inputs, so
+    every memory-bound stage (flow upsample, range-map scatter, census/ssim
+    moments, mask upsample) runs once at 2B instead of twice at B. The
+    full-res warp gathers stay per-direction — XLA's TPU gather is ~3x
+    slower per descriptor at the 2B source size (see losses/uflow.py:94).
+    Weight maps are normalized per direction (num_groups=2), so summing the
+    penalized 2B batch equals the reference's fw_sum + bw_sum exactly.
+
+    Returns (pixel_loss_list, pixel_weight_list, occu_mask_2, valid_mask_0),
+    each batched [fw; bw] along axis 0 (occu_mask_2 is None for occ 'none').
+    """
+    b = flow12_2.shape[0]
+    flow_2 = jnp.concatenate([flow12_2, flow21_2], axis=0)
+    flow_0 = upsample(flow_2, is_flow=True, scale_factor=4.0)
+    warp_0 = flow_to_warp(flow_0)
+    recons = jnp.concatenate(
+        [
+            resample(lax.stop_gradient(im2_0), warp_0[:b]),
+            resample(lax.stop_gradient(im1_0), warp_0[b:]),
+        ],
+        axis=0,
+    )
+    targets = jnp.concatenate([im1_0, im2_0], axis=0)
+
+    if occ_type == "mean":
+        mean_2 = jnp.concatenate([mean12_2, mean21_2], axis=0)
+        mean_0 = upsample(mean_2, is_flow=True, scale_factor=4.0)
+        valid_mask_0 = mask_invalid(flow_to_warp(mean_0))
+        occu_mask_2 = jnp.clip(
+            compute_range_map(jnp.concatenate([mean21_2, mean12_2], axis=0)),
+            0.0,
+            1.0,
+        )
+        occu_mask_0 = upsample(occu_mask_2, is_flow=False, scale_factor=4.0)
+        mask_0 = lax.stop_gradient(occu_mask_0 * valid_mask_0)
+    elif occ_type == "sample":
+        valid_mask_0 = mask_invalid(warp_0)
+        occu_mask_2 = jnp.clip(
+            compute_range_map(jnp.concatenate([flow21_2, flow12_2], axis=0)),
+            0.0,
+            1.0,
+        )
+        occu_mask_0 = upsample(occu_mask_2, is_flow=False, scale_factor=4.0)
+        mask_0 = lax.stop_gradient(occu_mask_0 * valid_mask_0)
+    elif occ_type == "none":
+        valid_mask_0 = mask_invalid(warp_0)
+        occu_mask_2 = None
+        mask_0 = lax.stop_gradient(valid_mask_0)
+    else:
+        raise NotImplementedError(f"Occlusion type {occ_type} not implemented!")
+
+    pixel_loss = []
+    pixel_weight = []
+    for loss_type in data_loss:
+        if loss_type == "census":
+            l, w = census_loss_no_penalty(targets, recons, mask_0, num_groups=2)
+        elif loss_type == "ssim":
+            l, w = ssim_loss(targets, recons, mask_0, num_groups=2)
+        else:
+            raise NotImplementedError(loss_type)
+        pixel_loss.append(l)
+        pixel_weight.append(w)
+
+    return pixel_loss, pixel_weight, occu_mask_2, valid_mask_0
+
+
 def smooth_loss_no_penalty(im1_0, flow12_2, edge_constant, edge_asymp):
     """First-order flow gradients + edge-aware weights at 1/4 res
     (losses/uflow_elbo_loss.py:81-96)."""

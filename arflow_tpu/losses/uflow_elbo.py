@@ -30,6 +30,7 @@ from jax import lax
 
 from arflow_tpu.losses.blocks import (
     data_loss_no_penalty,
+    data_loss_no_penalty_bidir,
     edge_weights,
     smooth_loss_no_penalty,
 )
@@ -279,24 +280,35 @@ class UFlowElboLoss:
             for name, kind in zip(cfg.data_penalty, cfg.data_loss)
         ]
         loss_warp = 0.0
-        pl12, pw12, occu_mask12, valid_mask12 = data_loss_no_penalty(
-            im1_0, im2_0, flow12_2, flow21_2, cfg.occ_type, cfg.data_loss,
-            mean12_2_rep, mean21_2_rep,
-        )
-        for pixel_loss, pixel_weight, weight, penalty in zip(
-            pl12, pw12, cfg.data_weight, data_penalties
-        ):
-            loss_warp = loss_warp + _apply_data_penalty(
-                pixel_loss, pixel_weight, weight, penalty
-            )
         occu_mask21 = None
         if cfg.with_bk:
-            pl21, pw21, occu_mask21, _ = data_loss_no_penalty(
-                im2_0, im1_0, flow21_2, flow12_2, cfg.occ_type, cfg.data_loss,
-                mean21_2_rep, mean12_2_rep,
+            # TPU fast path: both directions ride one batched pipeline
+            # (per-direction weight normalization via num_groups=2; the
+            # summed penalized 2B batch equals fw_sum + bw_sum).
+            nb = flow12_2.shape[0]
+            pl, pw, occu_mask_b, valid_mask_b = data_loss_no_penalty_bidir(
+                im1_0, im2_0, flow12_2, flow21_2, cfg.occ_type, cfg.data_loss,
+                mean12_2_rep, mean21_2_rep,
             )
             for pixel_loss, pixel_weight, weight, penalty in zip(
-                pl21, pw21, cfg.data_weight, data_penalties
+                pl, pw, cfg.data_weight, data_penalties
+            ):
+                loss_warp = loss_warp + _apply_data_penalty(
+                    pixel_loss, pixel_weight, weight, penalty
+                )
+            if occu_mask_b is not None:
+                occu_mask12 = occu_mask_b[:nb]
+                occu_mask21 = occu_mask_b[nb:]
+            else:
+                occu_mask12 = None
+            valid_mask12 = valid_mask_b[:nb]
+        else:
+            pl12, pw12, occu_mask12, valid_mask12 = data_loss_no_penalty(
+                im1_0, im2_0, flow12_2, flow21_2, cfg.occ_type, cfg.data_loss,
+                mean12_2_rep, mean21_2_rep,
+            )
+            for pixel_loss, pixel_weight, weight, penalty in zip(
+                pl12, pw12, cfg.data_weight, data_penalties
             ):
                 loss_warp = loss_warp + _apply_data_penalty(
                     pixel_loss, pixel_weight, weight, penalty

@@ -89,7 +89,14 @@ class PWCLiteProb(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
         p1 = self.feature_extractor(img1)
         p2 = self.feature_extractor(img2)
-        res = {"flows_fw": self.forward_2_frames(p1, p2)}
         if with_bk:
-            res["flows_bw"] = self.forward_2_frames(p2, p1)
-        return res
+            # TPU fast path: fw + bw in one 2B pass (see PWCLite.__call__).
+            pa = [jnp.concatenate([a, b], axis=0) for a, b in zip(p1, p2)]
+            pb = [jnp.concatenate([b, a], axis=0) for a, b in zip(p1, p2)]
+            outs = self.forward_2_frames(pa, pb)
+            nb = img1.shape[0]
+            return {
+                "flows_fw": [o[:nb] for o in outs],
+                "flows_bw": [o[nb:] for o in outs],
+            }
+        return {"flows_fw": self.forward_2_frames(p1, p2)}

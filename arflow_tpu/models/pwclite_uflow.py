@@ -81,16 +81,24 @@ class PWCLiteUflow(nn.Module):
             for l in range(self.output_level)
         ]
 
-    def _dropout(self, tensors, train):
+    def _dropout(self, tensors, train, num_groups: int = 1):
         if not train or self.level_dropout <= 0:
             return tensors
         rng = self.make_rng("dropout")
-        keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
-            tensors[0].dtype
-        )
+        if num_groups == 1:
+            keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
+                tensors[0].dtype
+            )
+            return [t * keep for t in tensors]
+        # Batched bidirectional forward: independent draw per direction group.
+        keep = (
+            jax.random.uniform(rng, (num_groups,)) > self.level_dropout
+        ).astype(tensors[0].dtype)
+        b = tensors[0].shape[0] // num_groups
+        keep = jnp.repeat(keep, b).reshape(-1, 1, 1, 1)
         return [t * keep for t in tensors]
 
-    def forward_2_frames(self, p1, p2, train=False):
+    def forward_2_frames(self, p1, p2, train=False, num_groups: int = 1):
         b, h, w, _ = p1[0].shape
         flow = jnp.zeros((b, h, w, 2), p1[0].dtype)
         flows = []
@@ -122,12 +130,12 @@ class PWCLiteUflow(nn.Module):
                 act, flow_res = self.estimators[l](
                     jnp.concatenate([corr, x1, flow, act_deconv], -1)
                 )
-            flow_res, act = self._dropout([flow_res, act], train)
+            flow_res, act = self._dropout([flow_res, act], train, num_groups)
             flow = flow + flow_res
             flows.append(flow)
 
         flow_fine = self.context_network(jnp.concatenate([act, flow], -1))
-        (flow_fine,) = self._dropout([flow_fine], train)
+        (flow_fine,) = self._dropout([flow_fine], train, num_groups)
         flow = flow + flow_fine
         flows[-1] = flow
 
@@ -143,7 +151,15 @@ class PWCLiteUflow(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
         p1 = self.feature_extractor(img1)
         p2 = self.feature_extractor(img2)
-        res = {"flows_fw": self.forward_2_frames(p1, p2, train)}
         if with_bk:
-            res["flows_bw"] = self.forward_2_frames(p2, p1, train)
-        return res
+            # TPU fast path: fw + bw in one 2B pass (see PWCLite.__call__);
+            # feature standardization is per-sample so halves never mix.
+            pa = [jnp.concatenate([a, b], axis=0) for a, b in zip(p1, p2)]
+            pb = [jnp.concatenate([b, a], axis=0) for a, b in zip(p1, p2)]
+            flows = self.forward_2_frames(pa, pb, train, num_groups=2)
+            nb = img1.shape[0]
+            return {
+                "flows_fw": [f[:nb] for f in flows],
+                "flows_bw": [f[nb:] for f in flows],
+            }
+        return {"flows_fw": self.forward_2_frames(p1, p2, train)}

@@ -130,16 +130,27 @@ class PWCFlow(nn.Module):
         refine.append(conv2d(2, kernel_size=3, name="refine_out", dtype=self.dtype))
         self._refine_model = refine
 
-    def _maybe_level_dropout(self, tensors, train):
+    def _maybe_level_dropout(self, tensors, train, num_groups: int = 1):
         if not train or self.level_dropout <= 0:
             return tensors
         rng = self.make_rng("dropout")
-        keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
-            tensors[0].dtype
-        )
+        if num_groups == 1:
+            keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
+                tensors[0].dtype
+            )
+            return [t * keep for t in tensors]
+        # Batched bidirectional forward: one independent whole-level draw per
+        # direction group (matches the reference's separate fw/bw calls,
+        # uflow_model.py:210-214).
+        keep = (
+            jax.random.uniform(rng, (num_groups,)) > self.level_dropout
+        ).astype(tensors[0].dtype)
+        b = tensors[0].shape[0] // num_groups
+        keep = jnp.repeat(keep, b).reshape(-1, 1, 1, 1)
         return [t * keep for t in tensors]
 
-    def forward_2_frames(self, fp1, fp2, train: bool = False):
+    def forward_2_frames(self, fp1, fp2, train: bool = False,
+                         num_groups: int = 1):
         """Coarse-to-fine flow between two feature pyramids
         (uflow_model.py:138-245)."""
         context = None
@@ -186,7 +197,9 @@ class PWCFlow(nn.Module):
             context = x_out
             flow = self._flow_layers[level][-1](context)
 
-            context, flow = self._maybe_level_dropout([context, flow], train)
+            context, flow = self._maybe_level_dropout(
+                [context, flow], train, num_groups
+            )
 
             if flow_up is not None and self.accumulate_flow:
                 flow = flow + flow_up
@@ -201,7 +214,7 @@ class PWCFlow(nn.Module):
         for conv in self._refine_model[:-1]:
             refinement = leaky_relu(conv(refinement), _LEAKY_ALPHA)
         refinement = self._refine_model[-1](refinement)
-        (refinement,) = self._maybe_level_dropout([refinement], train)
+        (refinement,) = self._maybe_level_dropout([refinement], train, num_groups)
 
         flows[0] = flow + refinement
         flows.insert(0, upsample(flows[0], is_flow=True))
@@ -213,7 +226,20 @@ class PWCFlow(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):
         fp1 = self.feature_pyramid(img1)
         fp2 = self.feature_pyramid(img2)
-        res = {"flows_fw": self.forward_2_frames(fp1, fp2, train=train)}
         if with_bk:
-            res["flows_bw"] = self.forward_2_frames(fp2, fp1, train=train)
-        return res
+            # TPU fast path: the fw and bw passes are the same program on
+            # swapped pyramids, so they ride ONE coarse-to-fine pass at 2B —
+            # every decoder conv, cost volume and feature warp runs once with
+            # twice the batch (better MXU occupancy, half the kernel
+            # launches). Per-sample numerics are unchanged: convs, feature
+            # moments (per batch element) and the cost volume never mix
+            # batch entries; level dropout draws per direction group.
+            fp_a = [jnp.concatenate([a, b], axis=0) for a, b in zip(fp1, fp2)]
+            fp_b = [jnp.concatenate([b, a], axis=0) for a, b in zip(fp1, fp2)]
+            flows = self.forward_2_frames(fp_a, fp_b, train=train, num_groups=2)
+            nb = img1.shape[0]
+            return {
+                "flows_fw": [f[:nb] for f in flows],
+                "flows_bw": [f[nb:] for f in flows],
+            }
+        return {"flows_fw": self.forward_2_frames(fp1, fp2, train=train)}

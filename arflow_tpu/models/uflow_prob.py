@@ -126,13 +126,22 @@ class PWCProbFlow(nn.Module):
                 name="mixture_weights_net",
             )
 
-    def _maybe_dropout(self, tensors, train):
+    def _maybe_dropout(self, tensors, train, num_groups: int = 1):
         if not train or self.level_dropout <= 0:
             return tensors
         rng = self.make_rng("dropout")
-        keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
-            tensors[0].dtype
-        )
+        if num_groups == 1:
+            keep = (jax.random.uniform(rng, ()) > self.level_dropout).astype(
+                tensors[0].dtype
+            )
+            return [t * keep for t in tensors]
+        # Batched bidirectional forward: independent whole-level draw per
+        # direction group (uflow_prob_model.py dropout semantics preserved).
+        keep = (
+            jax.random.uniform(rng, (num_groups,)) > self.level_dropout
+        ).astype(tensors[0].dtype)
+        b = tensors[0].shape[0] // num_groups
+        keep = jnp.repeat(keep, b).reshape(-1, 1, 1, 1)
         return [t * keep for t in tensors]
 
     def upsample_out(self, out):
@@ -149,7 +158,7 @@ class PWCProbFlow(nn.Module):
             pieces.append(upsample(out[..., l + m :], is_flow=False))
         return jnp.concatenate(pieces, axis=-1)
 
-    def forward_2_frames(self, fp1, fp2, train=False):
+    def forward_2_frames(self, fp1, fp2, train=False, num_groups: int = 1):
         l_ch, m_ch, n_ch = self.out_channels
         context = None
         context_up = None
@@ -196,7 +205,7 @@ class PWCProbFlow(nn.Module):
                 x_in = jnp.concatenate([x_in, x_out], axis=-1)
             context = x_out
             out = self._flow_layers[level][-1](context)
-            context, out = self._maybe_dropout([context, out], train)
+            context, out = self._maybe_dropout([context, out], train, num_groups)
 
             # Pad propagated channels when the output level adds N extras.
             if out.shape[-1] > out_up.shape[-1]:
@@ -216,7 +225,7 @@ class PWCProbFlow(nn.Module):
         for conv in self._refine_model[:-1]:
             refinement = leaky_relu(conv(refinement), _ALPHA)
         refinement = self._refine_model[-1](refinement)
-        (refinement,) = self._maybe_dropout([refinement], train)
+        (refinement,) = self._maybe_dropout([refinement], train, num_groups)
         refined = out + refinement
 
         flow = refined[..., :l_ch]
@@ -262,12 +271,20 @@ class PWCProbFlow(nn.Module):
 
     def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):
         flows_fw, flows_bw = [], []
+        nb = img1.shape[0]
         for k in range(self.n_pyramids):
             f1 = self.pyramids[k](img1)
             f2 = self.pyramids[k](img2)
-            flows_fw.append(self.forward_2_frames(f1, f2, train))
             if with_bk:
-                flows_bw.append(self.forward_2_frames(f2, f1, train))
+                # TPU fast path: fw + bw ride one coarse-to-fine pass at 2B
+                # (see PWCFlow.__call__; per-sample numerics unchanged).
+                fa = [jnp.concatenate([a, b], axis=0) for a, b in zip(f1, f2)]
+                fb = [jnp.concatenate([b, a], axis=0) for a, b in zip(f1, f2)]
+                outs = self.forward_2_frames(fa, fb, train, num_groups=2)
+                flows_fw.append([o[:nb] for o in outs])
+                flows_bw.append([o[nb:] for o in outs])
+            else:
+                flows_fw.append(self.forward_2_frames(f1, f2, train))
         res = {"flows_fw": self.flows_cat(flows_fw)}
         if with_bk:
             res["flows_bw"] = self.flows_cat(flows_bw)

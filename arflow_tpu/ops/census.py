@@ -106,12 +106,32 @@ def census_loss_no_penalty(
     image_b: jnp.ndarray,
     mask: jnp.ndarray,
     patch_size: int = 7,
+    num_groups: int = 1,
 ):
-    """Per-pixel census distance + normalized weight (uflow_utils.py:296-306)."""
+    """Per-pixel census distance + normalized weight (uflow_utils.py:296-306).
+
+    ``num_groups > 1`` splits the batch into equal groups, each weight map
+    normalized by its own group's mask sum — lets the ELBO loss batch the
+    fw and bw directions through ONE census pipeline while preserving the
+    reference's per-direction normalization.
+    """
     hamming, _ = _census_dist(image_a, image_b, patch_size)
     padded_mask = zero_mask_border(mask, patch_size)
-    denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
-    return hamming, padded_mask / denom
+    return hamming, _group_normalize(padded_mask, num_groups)
+
+
+def _group_normalize(padded_mask, num_groups):
+    """mask / per-group-sum(mask), groups along axis 0."""
+    if num_groups == 1:
+        denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
+        return padded_mask / denom
+    b = padded_mask.shape[0]
+    mask_g = lax.stop_gradient(padded_mask).reshape((num_groups, -1))
+    denom = jnp.sum(mask_g, axis=1) + 1e-6  # (G,)
+    denom = jnp.repeat(denom, b // num_groups).reshape(
+        (b,) + (1,) * (padded_mask.ndim - 1)
+    )
+    return padded_mask / denom
 
 
 def _census_dist(image_a, image_b, patch_size):

@@ -41,11 +41,15 @@ def ssim_loss(
     image_b: jnp.ndarray,
     mask: jnp.ndarray,
     patch_size: int = 7,
+    num_groups: int = 1,
 ):
     """Decomposed SSIM distance + normalized weights (uflow_utils.py:309-334).
 
-    Returns ([d1_sq, d2_sq], padded_mask / sum(padded_mask)).
+    Returns ([d1_sq, d2_sq], padded_mask / sum(padded_mask)). ``num_groups``
+    normalizes the weights per batch group (see census_loss_no_penalty).
     """
+    from arflow_tpu.ops.census import _group_normalize
+
     c1 = 0.01**2
     c2 = 0.03**2
     mu_x, mu_y, sigma_x, sigma_y, sigma_xy = _moments(image_a, image_b, patch_size, "SAME")
@@ -56,8 +60,7 @@ def ssim_loss(
     d2_sq = jnp.clip(1 - s2, 0.0, 1.0)
 
     padded_mask = zero_mask_border(mask, patch_size)
-    denom = jnp.sum(lax.stop_gradient(padded_mask)) + 1e-6
-    return [d1_sq, d2_sq], padded_mask / denom
+    return [d1_sq, d2_sq], _group_normalize(padded_mask, num_groups)
 
 
 def ssim_dist(x: jnp.ndarray, y: jnp.ndarray, md: int = 1) -> jnp.ndarray:

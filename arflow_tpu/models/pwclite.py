@@ -17,6 +17,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from arflow_tpu.models.bidir import bidir_batch_enabled
 from arflow_tpu.models.layers import conv2d, kaiming_normal, leaky_relu
 from arflow_tpu.ops import compute_cost_volume, flow_warp, resize_bilinear
 
@@ -194,7 +195,7 @@ class PWCLite(nn.Module):
         res = {}
         nb = imgs[0].shape[0]
         if n == 2:
-            if with_bk:
+            if with_bk and bidir_batch_enabled():
                 # TPU fast path: fw + bw ride one coarse-to-fine pass at 2B
                 # (same program on swapped pyramids; per-sample numerics
                 # unchanged — convs/corr/warps never mix batch entries).
@@ -211,26 +212,45 @@ class PWCLite(nn.Module):
                 res["flows_bw"] = [f[nb:] for f in flows]
             else:
                 res["flows_fw"] = self.forward_2_frames(pyramids[0], pyramids[1])
+                if with_bk:
+                    res["flows_bw"] = self.forward_2_frames(
+                        pyramids[1], pyramids[0]
+                    )
         elif n == 3:
             flows_10, flows_12 = self.forward_3_frames(*pyramids)
             res["flows_fw"], res["flows_bw"] = flows_12, flows_10
         elif n == 5:
-            # All sliding 3-frame windows ride one batched forward_3_frames
-            # (reference runs them sequentially, models/pwclite.py:274-280).
-            starts = (0, 1, 2) if with_bk else (0, 1)
-            levels = len(pyramids[0])
-            cat = lambda off: [
-                jnp.concatenate([pyramids[s + off][l] for s in starts], axis=0)
-                for l in range(levels)
-            ]
-            flows_10, flows_12 = self.forward_3_frames(cat(0), cat(1), cat(2))
-            win = lambda i, flows: [f[i * nb : (i + 1) * nb] for f in flows]
-            # window 0: frames 0,1,2 -> (flows_10, flows_12)
-            # window 1: frames 1,2,3 -> (flows_21, flows_23)
-            # window 2: frames 2,3,4 -> (flows_32, flows_34)
-            res["flows_fw"] = [win(0, flows_12), win(1, flows_12)]
-            if with_bk:
-                res["flows_bw"] = [win(1, flows_10), win(2, flows_10)]
+            if bidir_batch_enabled():
+                # All sliding 3-frame windows ride one batched
+                # forward_3_frames (reference runs them sequentially,
+                # models/pwclite.py:274-280).
+                starts = (0, 1, 2) if with_bk else (0, 1)
+                levels = len(pyramids[0])
+                cat = lambda off: [
+                    jnp.concatenate(
+                        [pyramids[s + off][l] for s in starts], axis=0
+                    )
+                    for l in range(levels)
+                ]
+                flows_10, flows_12 = self.forward_3_frames(
+                    cat(0), cat(1), cat(2)
+                )
+                win = lambda i, flows: [
+                    f[i * nb : (i + 1) * nb] for f in flows
+                ]
+                # window 0: frames 0,1,2 -> (flows_10, flows_12)
+                # window 1: frames 1,2,3 -> (flows_21, flows_23)
+                # window 2: frames 2,3,4 -> (flows_32, flows_34)
+                res["flows_fw"] = [win(0, flows_12), win(1, flows_12)]
+                if with_bk:
+                    res["flows_bw"] = [win(1, flows_10), win(2, flows_10)]
+            else:
+                flows_10, flows_12 = self.forward_3_frames(*pyramids[0:3])
+                flows_21, flows_23 = self.forward_3_frames(*pyramids[1:4])
+                res["flows_fw"] = [flows_12, flows_23]
+                if with_bk:
+                    flows_32, _ = self.forward_3_frames(*pyramids[2:5])
+                    res["flows_bw"] = [flows_21, flows_32]
         else:
             raise NotImplementedError(f"{n} frames")
         return res

@@ -12,6 +12,7 @@ import math
 import flax.linen as nn
 import jax.numpy as jnp
 
+from arflow_tpu.models.bidir import bidir_batch_enabled
 from arflow_tpu.models.layers import leaky_relu
 from arflow_tpu.models.pwclite import (
     ContextNetwork,
@@ -89,7 +90,7 @@ class PWCLiteProb(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
         p1 = self.feature_extractor(img1)
         p2 = self.feature_extractor(img2)
-        if with_bk:
+        if with_bk and bidir_batch_enabled():
             # TPU fast path: fw + bw in one 2B pass (see PWCLite.__call__).
             pa = [jnp.concatenate([a, b], axis=0) for a, b in zip(p1, p2)]
             pb = [jnp.concatenate([b, a], axis=0) for a, b in zip(p1, p2)]
@@ -99,4 +100,7 @@ class PWCLiteProb(nn.Module):
                 "flows_fw": [o[:nb] for o in outs],
                 "flows_bw": [o[nb:] for o in outs],
             }
-        return {"flows_fw": self.forward_2_frames(p1, p2)}
+        res = {"flows_fw": self.forward_2_frames(p1, p2)}
+        if with_bk:
+            res["flows_bw"] = self.forward_2_frames(p2, p1)
+        return res

@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from arflow_tpu.models.bidir import bidir_batch_enabled
 from arflow_tpu.models.layers import ConvTranspose2dTorch, leaky_relu
 from arflow_tpu.models.pwclite import (
     ContextNetwork,
@@ -151,7 +152,7 @@ class PWCLiteUflow(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
         p1 = self.feature_extractor(img1)
         p2 = self.feature_extractor(img2)
-        if with_bk:
+        if with_bk and bidir_batch_enabled():
             # TPU fast path: fw + bw in one 2B pass (see PWCLite.__call__);
             # feature standardization is per-sample so halves never mix.
             pa = [jnp.concatenate([a, b], axis=0) for a, b in zip(p1, p2)]
@@ -162,4 +163,7 @@ class PWCLiteUflow(nn.Module):
                 "flows_fw": [f[:nb] for f in flows],
                 "flows_bw": [f[nb:] for f in flows],
             }
-        return {"flows_fw": self.forward_2_frames(p1, p2, train)}
+        res = {"flows_fw": self.forward_2_frames(p1, p2, train)}
+        if with_bk:
+            res["flows_bw"] = self.forward_2_frames(p2, p1, train)
+        return res

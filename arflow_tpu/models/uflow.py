@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from arflow_tpu.models.bidir import bidir_batch_enabled
 from arflow_tpu.models.layers import conv2d, leaky_relu, xavier_uniform, ConvTranspose2dTorch
 from arflow_tpu.ops import (
     compute_cost_volume,
@@ -226,14 +227,15 @@ class PWCFlow(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):
         fp1 = self.feature_pyramid(img1)
         fp2 = self.feature_pyramid(img2)
-        if with_bk:
-            # TPU fast path: the fw and bw passes are the same program on
-            # swapped pyramids, so they ride ONE coarse-to-fine pass at 2B —
-            # every decoder conv, cost volume and feature warp runs once with
-            # twice the batch (better MXU occupancy, half the kernel
-            # launches). Per-sample numerics are unchanged: convs, feature
-            # moments (per batch element) and the cost volume never mix
-            # batch entries; level dropout draws per direction group.
+        if with_bk and bidir_batch_enabled(default=False):
+            # Batched bidirectional pass: fw and bw ride ONE coarse-to-fine
+            # pass at 2B on swapped pyramids. Per-sample numerics are
+            # unchanged: convs, feature moments (per batch element) and the
+            # cost volume never mix batch entries; level dropout draws per
+            # direction group. Default OFF: measured 57.4 ms vs 53.7 ms
+            # sequential for the full uflow train step @256x448 b8 on TPU
+            # v5e (benchmarks/bench_bidir_ab.py) — the 2B convs don't beat
+            # two B-sized passes here (ARFLOW_BIDIR_BATCH=1 to force).
             fp_a = [jnp.concatenate([a, b], axis=0) for a, b in zip(fp1, fp2)]
             fp_b = [jnp.concatenate([b, a], axis=0) for a, b in zip(fp1, fp2)]
             flows = self.forward_2_frames(fp_a, fp_b, train=train, num_groups=2)
@@ -242,4 +244,7 @@ class PWCFlow(nn.Module):
                 "flows_fw": [f[:nb] for f in flows],
                 "flows_bw": [f[nb:] for f in flows],
             }
-        return {"flows_fw": self.forward_2_frames(fp1, fp2, train=train)}
+        res = {"flows_fw": self.forward_2_frames(fp1, fp2, train=train)}
+        if with_bk:
+            res["flows_bw"] = self.forward_2_frames(fp2, fp1, train=train)
+        return res

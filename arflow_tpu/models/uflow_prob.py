@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from arflow_tpu.models.bidir import bidir_batch_enabled
 from arflow_tpu.models.layers import (
     ConvTranspose2dTorch,
     conv2d,
@@ -275,9 +276,13 @@ class PWCProbFlow(nn.Module):
         for k in range(self.n_pyramids):
             f1 = self.pyramids[k](img1)
             f2 = self.pyramids[k](img2)
-            if with_bk:
-                # TPU fast path: fw + bw ride one coarse-to-fine pass at 2B
-                # (see PWCFlow.__call__; per-sample numerics unchanged).
+            if with_bk and bidir_batch_enabled(default=False):
+                # Batched bidirectional pass (see PWCFlow.__call__;
+                # per-sample numerics unchanged). Default OFF: the full
+                # sparse-ELBO train step measured 55.2 ms batched vs 48.9 ms
+                # sequential @256x448 b4 on TPU v5e
+                # (benchmarks/bench_bidir_ab.py; ARFLOW_BIDIR_BATCH=1 to
+                # force).
                 fa = [jnp.concatenate([a, b], axis=0) for a, b in zip(f1, f2)]
                 fb = [jnp.concatenate([b, a], axis=0) for a, b in zip(f1, f2)]
                 outs = self.forward_2_frames(fa, fb, train, num_groups=2)
@@ -285,6 +290,8 @@ class PWCProbFlow(nn.Module):
                 flows_bw.append([o[nb:] for o in outs])
             else:
                 flows_fw.append(self.forward_2_frames(f1, f2, train))
+                if with_bk:
+                    flows_bw.append(self.forward_2_frames(f2, f1, train))
         res = {"flows_fw": self.flows_cat(flows_fw)}
         if with_bk:
             res["flows_bw"] = self.flows_cat(flows_bw)

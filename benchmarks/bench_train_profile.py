@@ -125,6 +125,24 @@ def main():
         "bwd+adam": round((t_full - t_fl) * 1e3, 1),
     }))
 
+    # ---- bf16-compute train step (EPE-safe per BASELINE.md round 2) ----
+    model_bf16 = get_model(Config({"type": "uflow", "feature_norm": True,
+                                   "level_dropout": 0.0, "dtype": "bf16"}))
+
+    @jax.jit
+    def full_step_bf16(p, o, a, b):
+        def lf(pp):
+            res = model_bf16.apply({"params": pp}, a, b, with_bk=True)
+            return loss(res, a, b)["total"]
+
+        l, g = jax.value_and_grad(lf)(p)
+        u, o2 = tx.update(g, o, p)
+        p2 = optax.apply_updates(p, u)
+        return l + jnp.sum(jax.tree_util.tree_leaves(p2)[0])
+
+    t_full_bf16 = timed(full_step_bf16, params, opt, img1, img2) - rtt
+    report("uflow_full_step_bf16", t_full_bf16, B)
+
     if not args.elbo:
         return
 
@@ -191,6 +209,15 @@ def main():
     report("elbo_fwd+loss_n1", t_el1, B2)
     t_esm = timed(e_loss_fn({"w_smooth": 0.0}), e_params, im1, im2, key) - rtt
     report("elbo_fwd+loss_no_smooth", t_esm, B2)
+    # census+reparam only (smooth & entropy constant-folded away).
+    t_eco = timed(
+        e_loss_fn({"w_smooth": 0.0, "w_entropy": 0.0}), e_params, im1, im2, key
+    ) - rtt
+    report("elbo_fwd+loss_census_only", t_eco, B2)
+    # no data loss at all (census/warp/range-map DCE'd; smooth+entropy left).
+    t_end = timed(e_loss_fn({"data_loss": [], "data_weight": [],
+                             "data_penalty": []}), e_params, im1, im2, key) - rtt
+    report("elbo_fwd+loss_no_census", t_end, B2)
     t_efull = timed(e_step, e_params, e_opt, im1, im2, key) - rtt
     report("elbo_full_step_n4", t_efull, B2)
     print(json.dumps({

@@ -80,6 +80,17 @@ def data_loss_no_penalty(
     return pixel_loss, pixel_weight, occu_mask_2, valid_mask_0
 
 
+def _tile_groups(x, n, groups=2):
+    """(G*B, ...) -> (G*n*B, ...), each group tiled sample-major."""
+    if n == 1:
+        return x
+    b = x.shape[0] // groups
+    xg = x.reshape((groups, 1, b) + x.shape[1:])
+    return jnp.broadcast_to(
+        xg, (groups, n, b) + x.shape[1:]
+    ).reshape((groups * n * b,) + x.shape[1:])
+
+
 def data_loss_no_penalty_bidir(
     im1_0,
     im2_0,
@@ -89,45 +100,67 @@ def data_loss_no_penalty_bidir(
     data_loss,
     mean12_2=None,
     mean21_2=None,
+    n_rep: int = 1,
 ):
     """Both directions of ``data_loss_no_penalty`` through ONE batched
     pipeline (TPU-first fast path, same trick as losses/uflow.py).
 
     The fw and bw data losses are the same program on swapped inputs, so
-    every memory-bound stage (flow upsample, range-map scatter, census/ssim
+    every memory-bound stage (flow upsample, range-map splat, census/ssim
     moments, mask upsample) runs once at 2B instead of twice at B. The
     full-res warp gathers stay per-direction — XLA's TPU gather is ~3x
     slower per descriptor at the 2B source size (see losses/uflow.py:94).
     Weight maps are normalized per direction (num_groups=2), so summing the
     penalized 2B batch equals the reference's fw_sum + bw_sum exactly.
 
+    ``n_rep > 1`` is the MC-sample-aware mode (ELBO n_samples): images and
+    means come UN-tiled (batch B) while the sampled flows are tiled
+    (n_rep*B, sample-major, the ELBO ``_tile`` layout). The warp then
+    gathers each sample group from the B-sized source (n small gathers
+    beat one gather from an n-times-tiled source — gather cost scales
+    with source size on TPU), the target census transform runs once per
+    direction, and for occ 'mean' the masks (which are sample-independent)
+    are computed at B and broadcast. Identical math to pre-tiling the
+    inputs.
+
     Returns (pixel_loss_list, pixel_weight_list, occu_mask_2, valid_mask_0),
-    each batched [fw; bw] along axis 0 (occu_mask_2 is None for occ 'none').
+    each batched [fw; bw] along axis 0 (occu_mask_2 is None for occ 'none'),
+    tiled to the flows' batch when n_rep > 1.
     """
-    b = flow12_2.shape[0]
+    b = flow12_2.shape[0]  # = n_rep * B
     flow_2 = jnp.concatenate([flow12_2, flow21_2], axis=0)
     flow_0 = upsample(flow_2, is_flow=True, scale_factor=4.0)
     warp_0 = flow_to_warp(flow_0)
+    bs = b // n_rep  # un-tiled batch
+    im2_sg = lax.stop_gradient(im2_0)
+    im1_sg = lax.stop_gradient(im1_0)
     recons = jnp.concatenate(
-        [
-            resample(lax.stop_gradient(im2_0), warp_0[:b]),
-            resample(lax.stop_gradient(im1_0), warp_0[b:]),
+        [resample(im2_sg, warp_0[i * bs : (i + 1) * bs]) for i in range(n_rep)]
+        + [
+            resample(im1_sg, warp_0[b + i * bs : b + (i + 1) * bs])
+            for i in range(n_rep)
         ],
         axis=0,
     )
-    targets = jnp.concatenate([im1_0, im2_0], axis=0)
+    targets = jnp.concatenate([im1_0, im2_0], axis=0)  # (2*bs)
 
     if occ_type == "mean":
+        # The mean-flow masks are sample-independent: compute and upsample
+        # at 2*bs, broadcast to the sample batch last.
         mean_2 = jnp.concatenate([mean12_2, mean21_2], axis=0)
         mean_0 = upsample(mean_2, is_flow=True, scale_factor=4.0)
-        valid_mask_0 = mask_invalid(flow_to_warp(mean_0))
-        occu_mask_2 = jnp.clip(
+        valid_small_0 = mask_invalid(flow_to_warp(mean_0))
+        occu_small_2 = jnp.clip(
             compute_range_map(jnp.concatenate([mean21_2, mean12_2], axis=0)),
             0.0,
             1.0,
         )
-        occu_mask_0 = upsample(occu_mask_2, is_flow=False, scale_factor=4.0)
-        mask_0 = lax.stop_gradient(occu_mask_0 * valid_mask_0)
+        occu_small_0 = upsample(occu_small_2, is_flow=False, scale_factor=4.0)
+        valid_mask_0 = _tile_groups(valid_small_0, n_rep)
+        occu_mask_2 = _tile_groups(occu_small_2, n_rep)
+        mask_0 = _tile_groups(
+            lax.stop_gradient(occu_small_0 * valid_small_0), n_rep
+        )
     elif occ_type == "sample":
         valid_mask_0 = mask_invalid(warp_0)
         occu_mask_2 = jnp.clip(
@@ -148,9 +181,13 @@ def data_loss_no_penalty_bidir(
     pixel_weight = []
     for loss_type in data_loss:
         if loss_type == "census":
-            l, w = census_loss_no_penalty(targets, recons, mask_0, num_groups=2)
+            l, w = census_loss_no_penalty(
+                targets, recons, mask_0, num_groups=2, a_rep=n_rep
+            )
         elif loss_type == "ssim":
-            l, w = ssim_loss(targets, recons, mask_0, num_groups=2)
+            l, w = ssim_loss(
+                _tile_groups(targets, n_rep), recons, mask_0, num_groups=2
+            )
         else:
             raise NotImplementedError(loss_type)
         pixel_loss.append(l)

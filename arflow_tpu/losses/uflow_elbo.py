@@ -284,11 +284,14 @@ class UFlowElboLoss:
         if cfg.with_bk:
             # TPU fast path: both directions ride one batched pipeline
             # (per-direction weight normalization via num_groups=2; the
-            # summed penalized 2B batch equals fw_sum + bw_sum).
+            # summed penalized 2B batch equals fw_sum + bw_sum). Images and
+            # means go in UN-tiled with n_rep=n: the helper gathers each MC
+            # sample group from the small source, census-transforms each
+            # target once, and broadcasts the sample-independent masks.
             nb = flow12_2.shape[0]
             pl, pw, occu_mask_b, valid_mask_b = data_loss_no_penalty_bidir(
-                im1_0, im2_0, flow12_2, flow21_2, cfg.occ_type, cfg.data_loss,
-                mean12_2_rep, mean21_2_rep,
+                im1_orig, im2_orig, flow12_2, flow21_2, cfg.occ_type,
+                cfg.data_loss, mean12_2, mean21_2, n_rep=n,
             )
             for pixel_loss, pixel_weight, weight, penalty in zip(
                 pl, pw, cfg.data_weight, data_penalties

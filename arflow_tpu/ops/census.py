@@ -107,6 +107,7 @@ def census_loss_no_penalty(
     mask: jnp.ndarray,
     patch_size: int = 7,
     num_groups: int = 1,
+    a_rep: int = 1,
 ):
     """Per-pixel census distance + normalized weight (uflow_utils.py:296-306).
 
@@ -114,8 +115,25 @@ def census_loss_no_penalty(
     normalized by its own group's mask sum — lets the ELBO loss batch the
     fw and bw directions through ONE census pipeline while preserving the
     reference's per-direction normalization.
+
+    ``a_rep > 1``: image_a holds one copy per group while image_b holds
+    ``a_rep`` MC-sample copies (sample-major within each group, the ELBO's
+    ``_tile`` layout) — image_a's census transform is computed ONCE per
+    group and broadcast against the samples instead of transforming the
+    same target image ``a_rep`` times.
     """
-    hamming, _ = _census_dist(image_a, image_b, patch_size)
+    if a_rep == 1:
+        hamming, _ = _census_dist(image_a, image_b, patch_size)
+    else:
+        ca = census_transform(image_a, patch_size)
+        cb = census_transform(image_b, patch_size)
+        b_small = image_a.shape[0] // num_groups
+        tail = cb.shape[1:]
+        ca5 = ca.reshape((num_groups, 1, b_small) + tail)
+        cb5 = cb.reshape((num_groups, a_rep, b_small) + tail)
+        hamming = soft_hamming(ca5, cb5).reshape(
+            (num_groups * a_rep * b_small,) + tail[:-1] + (1,)
+        )
     padded_mask = zero_mask_border(mask, patch_size)
     return hamming, _group_normalize(padded_mask, num_groups)
 

@@ -49,20 +49,19 @@ def compute_cost_volume(
 ) -> jnp.ndarray:
     """Cost volume; dispatches to the fused Pallas kernel on TPU when possible."""
     if use_pallas is None:
-        # Shape-aware default (measured, BASELINE.md): the fused kernel wins
-        # 2.6x end-to-end when the feature width fills the 128-lane vectors
-        # (384x640 inputs -> level-1 W=160); below that XLA's own fusion is a
-        # wash or slightly ahead (256x448 -> W=112). ARFLOW_USE_PALLAS=0/1
-        # force-overrides.
+        # Default ON for every supported shape on TPU (measured, BASELINE.md):
+        # the v2 kernel + its shifted-product custom VJP beat XLA's fusion at
+        # all training and inference level shapes, fwd AND fwd+grad —
+        # 1.4-1.8x at 256x448 training levels (scan-amortized
+        # benchmarks/bench_cost_volume_grad.py), 2.6x end-to-end at 384x640
+        # inference. ARFLOW_USE_PALLAS=0/1 force-overrides.
         import os
 
         env = os.environ.get("ARFLOW_USE_PALLAS")
         if env is not None:
             use_pallas = env == "1"
         else:
-            use_pallas = (
-                jax.default_backend() == "tpu" and features1.shape[2] >= 128
-            )
+            use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         try:
             from arflow_tpu.ops.pallas.cost_volume_pallas import (

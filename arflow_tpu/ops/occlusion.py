@@ -9,8 +9,13 @@ Reference semantics:
   utils/warp_utils.py:93-116.
 
 TPU-first: the reference's ``scatter_add_`` with boolean-filtered index lists
-becomes a dense masked scatter-add (``.at[idx].add``) over the flattened
-(B*H*W) range — static shapes, no host-side filtering, deterministic on TPU.
+becomes, at the coarse resolutions the losses use, a pair of one-hot MATMULS
+(the bilinear splat weight factorizes as wy*wx, so the 2-D histogram is
+``My @ Mx`` — MXU work instead of XLA's ~72 ns/point serialized scatter;
+measured 8.3 -> <1 ms fwd+grad at the level-2 training shape). Above a
+memory budget it falls back to a dense masked scatter-add (``.at[idx].add``)
+over the flattened (B*H*W) range — static shapes, no host-side filtering,
+deterministic on TPU.
 """
 
 from __future__ import annotations
@@ -21,6 +26,42 @@ from jax import lax
 
 from arflow_tpu.ops.warp import flow_to_warp, flow_warp
 
+# Per-call budget (bytes) for the two one-hot factor matrices; above this the
+# splat uses the scatter path (full-res range maps in losses/fullres.py).
+_MATMUL_SPLAT_BUDGET = 512 * 1024 * 1024
+
+
+def _matmul_bilinear(x, y, h, w):
+    """Bilinear splat as two one-hot matmuls: returns (B, H*W) counts.
+
+    counts[ty,tx] = sum_s wy_s(ty) * wx_s(tx): the 4-corner bilinear splat
+    factorizes per axis (each axis contributes a 2-tap one-hot row), so the
+    scatter becomes ``einsum('bhs,bsw->bhw')`` on the MXU. Out-of-range
+    corners drop out of the one-hot automatically — identical masking to
+    the scatter path (utils/uflow_utils.py:139-152 semantics).
+    """
+    b = x.shape[0]
+    s = x.shape[1] * x.shape[2]
+    xf = x.reshape(b, s)
+    yf = y.reshape(b, s)
+    y0 = jnp.floor(yf)
+    oy = yf - y0
+    x0 = jnp.floor(xf)
+    ox = xf - x0
+
+    ty = jnp.arange(h, dtype=x.dtype)[None, :, None]  # (1, h, 1)
+    my = jnp.where(ty == y0[:, None, :], 1.0 - oy[:, None, :], 0.0) + jnp.where(
+        ty == (y0 + 1.0)[:, None, :], oy[:, None, :], 0.0
+    )  # (b, h, s)
+    tx = jnp.arange(w, dtype=x.dtype)[None, None, :]  # (1, 1, w)
+    mx = jnp.where(tx == x0[:, :, None], 1.0 - ox[:, :, None], 0.0) + jnp.where(
+        tx == (x0 + 1.0)[:, :, None], ox[:, :, None], 0.0
+    )  # (b, s, w)
+    counts = jnp.einsum(
+        "bhs,bsw->bhw", my, mx, precision=lax.Precision.HIGHEST
+    )
+    return counts.reshape(b, h * w)
+
 
 def _scatter_bilinear(x, y, h, w):
     """Shared bilinear splat: returns (B, H*W) count image flattened.
@@ -29,9 +70,14 @@ def _scatter_bilinear(x, y, h, w):
     compute_range_map (in-range corner test) and ARFlow
     get_corresponding_map (invalid-when-clamped corners) — the two validity
     rules are numerically identical and reduce to masking out-of-range
-    corners.
+    corners. Dispatches to the one-hot-matmul formulation when the factor
+    matrices fit the budget (always true at the level-2 shapes the losses
+    use), else the dense masked scatter-add.
     """
     b = x.shape[0]
+    s = x.shape[1] * x.shape[2]
+    if b * s * (h + w) * 4 <= _MATMUL_SPLAT_BUDGET:
+        return _matmul_bilinear(x, y, h, w)
     n = h * w
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)

@@ -27,9 +27,10 @@ REFERENCE_CPU_MAPS_PER_SEC = 1.195  # measured 2026-08-16, torch 2.13 CPU
 def main():
     import os
 
-    # The fused Pallas cost volume wins 2.6x end-to-end at this resolution
-    # (XLA's own fusion of the 81-slice form degrades at 384x640; see
-    # BASELINE.md). Training-scale shapes keep the XLA default.
+    # The fused Pallas cost volume is the TPU default for all supported
+    # shapes (wins 2.6x end-to-end at this resolution and 1.4-1.8x at
+    # training shapes incl. gradients; see BASELINE.md). Pinned here so the
+    # bench stays deterministic even if the caller exported =0.
     os.environ.setdefault("ARFLOW_USE_PALLAS", "1")
     import jax
 

@@ -76,3 +76,44 @@ def test_bidir_matches_sequential(rng, occ_type, data_loss):
     np.testing.assert_allclose(
         np.asarray(valid_b[:B]), np.asarray(valid_fw), atol=1e-6
     )
+
+
+@pytest.mark.parametrize("occ_type", ["mean", "sample", "none"])
+@pytest.mark.parametrize("data_loss", [["census"], ["census", "ssim"]])
+def test_sample_aware_matches_pretiled(rng, occ_type, data_loss):
+    """n_rep mode (un-tiled images/means) == pre-tiling everything."""
+    n = 3
+    im1 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    m12 = jnp.asarray((rng.randn(B, H2, W2, 2) * 1.5).astype(np.float32))
+    m21 = jnp.asarray((rng.randn(B, H2, W2, 2) * 1.5).astype(np.float32))
+    # Sampled flows: n_rep MC samples, sample-major tiling.
+    f12 = jnp.asarray((rng.randn(n * B, H2, W2, 2) * 1.5).astype(np.float32))
+    f21 = jnp.asarray((rng.randn(n * B, H2, W2, 2) * 1.5).astype(np.float32))
+
+    tile = lambda x: jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
+
+    pl_t, pw_t, occ_t, valid_t = jax.jit(
+        lambda *a: data_loss_no_penalty_bidir(
+            *a, occ_type, data_loss, tile(m12), tile(m21)
+        )
+    )(tile(im1), tile(im2), f12, f21)
+
+    pl_s, pw_s, occ_s, valid_s = jax.jit(
+        lambda *a: data_loss_no_penalty_bidir(
+            *a, occ_type, data_loss, m12, m21, n_rep=n
+        )
+    )(im1, im2, f12, f21)
+
+    flat = lambda t: jax.tree_util.tree_leaves(t)
+    for a, b in zip(flat((pl_t, pw_t)), flat((pl_s, pw_s))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    if occ_type == "none":
+        assert occ_t is None and occ_s is None
+    else:
+        np.testing.assert_allclose(
+            np.asarray(occ_t), np.asarray(occ_s), atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(valid_t), np.asarray(valid_s), atol=1e-5
+    )

@@ -1,0 +1,77 @@
+"""One-hot-matmul bilinear splat == scatter-add splat (fwd and grad).
+
+The range-map splat dispatches to an MXU einsum formulation below a memory
+budget (arflow_tpu/ops/occlusion.py). Torch parity is covered by
+test_ops_parity.py (which exercises the matmul path at its shapes); here
+the two internal formulations are pinned against each other, including
+gradients and out-of-range / exactly-integer coordinates.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from arflow_tpu.ops import occlusion
+
+
+def _coords(rng, b, h, w, spread):
+    y = rng.uniform(-spread, h + spread, size=(b, h, w)).astype(np.float32)
+    x = rng.uniform(-spread, w + spread, size=(b, h, w)).astype(np.float32)
+    # Include exactly-integer coordinates (floor==value corner cases).
+    y[:, 0, :] = np.round(y[:, 0, :])
+    x[:, :, 0] = np.round(x[:, :, 0])
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.mark.parametrize("spread", [0.0, 3.0, 40.0])
+def test_matmul_matches_scatter(rng, monkeypatch, spread):
+    b, h, w = 3, 12, 20
+    x, y = _coords(rng, b, h, w, spread)
+
+    got = jax.jit(
+        lambda x, y: occlusion._matmul_bilinear(x, y, h, w)
+    )(x, y)
+    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
+    want = jax.jit(
+        lambda x, y: occlusion._scatter_bilinear(x, y, h, w)
+    )(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_matmul_splat_gradients_match(rng, monkeypatch):
+    b, h, w = 2, 10, 14
+    x, y = _coords(rng, b, h, w, 2.0)
+    # Keep coords off exact integers: the splat weight is non-differentiable
+    # there and the two formulations may pick different subgradients.
+    x = x + 0.3
+    y = y + 0.3
+
+    def loss(fn, x, y):
+        return jnp.sum(jnp.tanh(fn(x, y, h, w)))
+
+    g_mm = jax.jit(jax.grad(lambda x, y: loss(occlusion._matmul_bilinear, x, y),
+                            argnums=(0, 1)))(x, y)
+    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
+    g_sc = jax.jit(jax.grad(lambda x, y: loss(occlusion._scatter_bilinear, x, y),
+                            argnums=(0, 1)))(x, y)
+    for a, b_ in zip(g_mm, g_sc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_dispatch_uses_scatter_above_budget(rng, monkeypatch):
+    b, h, w = 2, 8, 8
+    x, y = _coords(rng, b, h, w, 1.0)
+    calls = []
+    real = occlusion._matmul_bilinear
+    monkeypatch.setattr(
+        occlusion, "_matmul_bilinear",
+        lambda *a: calls.append(1) or real(*a),
+    )
+    occlusion._scatter_bilinear(x, y, h, w)
+    assert calls  # small shape -> matmul path
+    calls.clear()
+    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
+    occlusion._scatter_bilinear(x, y, h, w)
+    assert not calls  # above budget -> dense scatter path

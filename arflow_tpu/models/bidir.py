@@ -5,12 +5,14 @@ on swapped feature pyramids, so they can ride ONE coarse-to-fine pass at
 batch 2B. Whether that wins is workload-dependent, so the default is
 per-model and ``ARFLOW_BIDIR_BATCH=0/1`` force-overrides at trace time.
 
-Measured on TPU v5e (benchmarks/bench_bidir_ab.py, full train steps
-@256x448): batching LOSES for PWCFlow (57.4 vs 53.7 ms b8) and PWCProbFlow
-sparse-ELBO (55.2 vs 48.9 ms b4) — at training batch sizes the B-sized convs
-already fill the MXU, and the 2B cost volume / warp gathers cross XLA's
-per-descriptor gather cliff sooner. Defaults there are OFF. The PWCLite
-families keep their own measured defaults (see each model's __call__).
+Measured on TPU v5e under chained ground-truth timing (CHAIN train steps
+inside one lax.scan, benchmarks/bench_chained_ab.py — single-shot fetch
+timing under-reports the step by 2-3x because the scalar is ready before
+the backward tail finishes): batching LOSES for PWCFlow (78.1 vs 70.7
+ms/step @256x448 b8) but WINS for PWCProbFlow sparse-ELBO (75.3 vs 86.7
+ms/step b4) — the prob model's smaller per-direction batch leaves MXU
+headroom that 2B fills. Defaults: OFF for PWCFlow, ON for PWCProbFlow and
+the PWCLite families.
 """
 
 from __future__ import annotations

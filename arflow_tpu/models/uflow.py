@@ -232,9 +232,10 @@ class PWCFlow(nn.Module):
             # pass at 2B on swapped pyramids. Per-sample numerics are
             # unchanged: convs, feature moments (per batch element) and the
             # cost volume never mix batch entries; level dropout draws per
-            # direction group. Default OFF: measured 57.4 ms vs 53.7 ms
-            # sequential for the full uflow train step @256x448 b8 on TPU
-            # v5e (benchmarks/bench_bidir_ab.py) — the 2B convs don't beat
+            # direction group. Default OFF: measured 78.1 ms/step batched
+            # vs 70.7 sequential for the full uflow train step @256x448 b8
+            # on TPU v5e under chained ground-truth timing
+            # (benchmarks/bench_chained_ab.py) — the 2B convs don't beat
             # two B-sized passes here (ARFLOW_BIDIR_BATCH=1 to force).
             fp_a = [jnp.concatenate([a, b], axis=0) for a, b in zip(fp1, fp2)]
             fp_b = [jnp.concatenate([b, a], axis=0) for a, b in zip(fp1, fp2)]

@@ -276,13 +276,13 @@ class PWCProbFlow(nn.Module):
         for k in range(self.n_pyramids):
             f1 = self.pyramids[k](img1)
             f2 = self.pyramids[k](img2)
-            if with_bk and bidir_batch_enabled(default=False):
+            if with_bk and bidir_batch_enabled(default=True):
                 # Batched bidirectional pass (see PWCFlow.__call__;
-                # per-sample numerics unchanged). Default OFF: the full
-                # sparse-ELBO train step measured 55.2 ms batched vs 48.9 ms
-                # sequential @256x448 b4 on TPU v5e
-                # (benchmarks/bench_bidir_ab.py; ARFLOW_BIDIR_BATCH=1 to
-                # force).
+                # per-sample numerics unchanged). Default ON: the full
+                # sparse-ELBO train step measured 75.3 ms/step batched vs
+                # 86.7 sequential @256x448 b4 on TPU v5e under chained
+                # ground-truth timing (benchmarks/bench_chained_ab.py;
+                # ARFLOW_BIDIR_BATCH=0 to force sequential).
                 fa = [jnp.concatenate([a, b], axis=0) for a, b in zip(f1, f2)]
                 fb = [jnp.concatenate([b, a], axis=0) for a, b in zip(f1, f2)]
                 outs = self.forward_2_frames(fa, fb, train, num_groups=2)

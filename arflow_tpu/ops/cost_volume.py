@@ -72,6 +72,16 @@ def compute_cost_volume(
             )
 
             if supported_v2(features1.shape, max_displacement):
+                if features1.dtype == jnp.bfloat16:
+                    # The v2 kernel is f32-tuned (bf16 lane-packing makes it
+                    # slower than XLA); run it in f32 and cast back. Slightly
+                    # HIGHER precision than the bf16 XLA path (documented
+                    # bf16-mode divergence).
+                    return cost_volume_pallas_v2(
+                        features1.astype(jnp.float32),
+                        features2.astype(jnp.float32),
+                        max_displacement,
+                    ).astype(jnp.bfloat16)
                 return cost_volume_pallas_v2(
                     features1, features2, max_displacement
                 )

@@ -143,6 +143,41 @@ def main():
     t_full_bf16 = timed(full_step_bf16, params, opt, img1, img2) - rtt
     report("uflow_full_step_bf16", t_full_bf16, B)
 
+    # ---- chained steps: the definitive number -------------------------
+    # N Adam steps back-to-back inside ONE jitted lax.scan (carry =
+    # params/opt state) — steady-state per-step time with the tunnel's
+    # 25-40 ms fetch jitter amortized to noise. This is also exactly what
+    # the training loop does between metric fetches.
+    CHAIN = 20
+
+    def make_chain(m):
+        from jax import lax as jlax
+
+        @jax.jit
+        def chain(p, o, a, b):
+            def body(carry, _):
+                p, o = carry
+
+                def lf(pp):
+                    res = m.apply({"params": pp}, a, b, with_bk=True)
+                    return loss(res, a, b)["total"]
+
+                l, g = jax.value_and_grad(lf)(p)
+                u, o2 = tx.update(g, o, p)
+                return (optax.apply_updates(p, u), o2), l
+
+            (p2, _), ls = jlax.scan(body, (p, o), None, length=CHAIN)
+            return ls[-1] + jnp.sum(jax.tree_util.tree_leaves(p2)[0])
+
+        return chain
+
+    t_chain = (timed(make_chain(model), params, opt, img1, img2) - rtt) / CHAIN
+    report("uflow_full_step_chained", t_chain, B)
+    t_chain_bf16 = (
+        timed(make_chain(model_bf16), params, opt, img1, img2) - rtt
+    ) / CHAIN
+    report("uflow_full_step_bf16_chained", t_chain_bf16, B)
+
     if not args.elbo:
         return
 
@@ -227,6 +262,31 @@ def main():
         "loss_n1": round((t_el1 - t_efwd) * 1e3, 1),
         "bwd+adam": round((t_efull - t_el) * 1e3, 1),
     }))
+
+    # Chained steps (see the uflow chained rows): definitive per-step time.
+    from jax import lax as jlax
+
+    @jax.jit
+    def e_chain(p, o, a, b, key):
+        def body(carry, k):
+            p, o = carry
+
+            def lf(pp):
+                res = e_model.apply({"params": pp}, a, b, with_bk=True)
+                return e_loss(res, a, b, rng=k)["total"]
+
+            l, g = jax.value_and_grad(lf)(p)
+            u, o2 = tx.update(g, o, p)
+            return (optax.apply_updates(p, u), o2), l
+
+        keys = jax.random.split(key, CHAIN)
+        (p2, _), ls = jlax.scan(body, (p, o), keys)
+        return ls[-1] + jnp.sum(jax.tree_util.tree_leaves(p2)[0])
+
+    t_echain = (
+        timed(e_chain, e_params, e_opt, im1, im2, key) - rtt
+    ) / CHAIN
+    report("elbo_full_step_chained", t_echain, B2)
 
 
 if __name__ == "__main__":

@@ -9,10 +9,11 @@ Measured on TPU v5e under chained ground-truth timing (CHAIN train steps
 inside one lax.scan, benchmarks/bench_chained_ab.py — single-shot fetch
 timing under-reports the step by 2-3x because the scalar is ready before
 the backward tail finishes): batching LOSES for PWCFlow (78.1 vs 70.7
-ms/step @256x448 b8) but WINS for PWCProbFlow sparse-ELBO (75.3 vs 86.7
-ms/step b4) — the prob model's smaller per-direction batch leaves MXU
-headroom that 2B fills. Defaults: OFF for PWCFlow, ON for PWCProbFlow and
-the PWCLite families.
+ms/step @256x448 b8), PWCLite 2-frame (227.2 vs 222.6 unflow step b8) and
+PWCLite 5-frame windows (18.7 vs 12.6 ms fwd b4), but WINS for
+PWCProbFlow sparse-ELBO (75.3 vs 86.7 ms/step b4) — the prob model's
+smaller per-direction batch leaves MXU headroom that 2B fills. Defaults:
+ON for PWCProbFlow only.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from __future__ import annotations
 import os
 
 
-def bidir_batch_enabled(default: bool = True) -> bool:
+def bidir_batch_enabled(default: bool = False) -> bool:
     env = os.environ.get("ARFLOW_BIDIR_BATCH")
     if env is not None:
         return env == "1"

@@ -195,10 +195,12 @@ class PWCLite(nn.Module):
         res = {}
         nb = imgs[0].shape[0]
         if n == 2:
-            if with_bk and bidir_batch_enabled():
-                # TPU fast path: fw + bw ride one coarse-to-fine pass at 2B
-                # (same program on swapped pyramids; per-sample numerics
-                # unchanged — convs/corr/warps never mix batch entries).
+            if with_bk and bidir_batch_enabled(default=False):
+                # Batched bidirectional pass (same program on swapped
+                # pyramids; per-sample numerics unchanged). Default OFF:
+                # 227.2 ms/step batched vs 222.6 sequential for the full
+                # unflow train step @256x448 b8, chained ground-truth
+                # timing (benchmarks/bench_chained_ab.py).
                 pa = [
                     jnp.concatenate([a, b], axis=0)
                     for a, b in zip(pyramids[0], pyramids[1])
@@ -220,10 +222,12 @@ class PWCLite(nn.Module):
             flows_10, flows_12 = self.forward_3_frames(*pyramids)
             res["flows_fw"], res["flows_bw"] = flows_12, flows_10
         elif n == 5:
-            if bidir_batch_enabled():
+            if bidir_batch_enabled(default=False):
                 # All sliding 3-frame windows ride one batched
-                # forward_3_frames (reference runs them sequentially,
-                # models/pwclite.py:274-280).
+                # forward_3_frames. Default OFF: 18.7 ms batched vs 12.6
+                # sequential for the b4 5-frame forward @256x448, chained
+                # timing (bench_chained_ab.py) — matches the reference's
+                # sequential windows (models/pwclite.py:274-280).
                 starts = (0, 1, 2) if with_bk else (0, 1)
                 levels = len(pyramids[0])
                 cat = lambda off: [

@@ -27,8 +27,30 @@ from jax import lax
 from arflow_tpu.ops.warp import flow_to_warp, flow_warp
 
 # Per-call budget (bytes) for the two one-hot factor matrices; above this the
-# splat uses the scatter path (full-res range maps in losses/fullres.py).
+# splat accumulates over source chunks (lax.scan) so the factor matrices stay
+# inside the budget at any resolution.
 _MATMUL_SPLAT_BUDGET = 512 * 1024 * 1024
+# Target-grid size above which the matmul splat's O(h*w) work per source
+# point loses to the scatter's ~72 ns/point (TPU v5e matmul rates).
+_MATMUL_SPLAT_MAX_TARGET = 600_000
+
+
+def _matmul_bilinear_block(xf, yf, h, w):
+    """One source block of the factorized splat: (B, S) coords -> (B,h,w)."""
+    y0 = jnp.floor(yf)
+    oy = yf - y0
+    x0 = jnp.floor(xf)
+    ox = xf - x0
+
+    ty = jnp.arange(h, dtype=xf.dtype)[None, :, None]  # (1, h, 1)
+    my = jnp.where(ty == y0[:, None, :], 1.0 - oy[:, None, :], 0.0) + jnp.where(
+        ty == (y0 + 1.0)[:, None, :], oy[:, None, :], 0.0
+    )  # (b, h, s)
+    tx = jnp.arange(w, dtype=xf.dtype)[None, None, :]  # (1, 1, w)
+    mx = jnp.where(tx == x0[:, :, None], 1.0 - ox[:, :, None], 0.0) + jnp.where(
+        tx == (x0 + 1.0)[:, :, None], ox[:, :, None], 0.0
+    )  # (b, s, w)
+    return jnp.einsum("bhs,bsw->bhw", my, mx, precision=lax.Precision.HIGHEST)
 
 
 def _matmul_bilinear(x, y, h, w):
@@ -39,27 +61,34 @@ def _matmul_bilinear(x, y, h, w):
     scatter becomes ``einsum('bhs,bsw->bhw')`` on the MXU. Out-of-range
     corners drop out of the one-hot automatically — identical masking to
     the scatter path (utils/uflow_utils.py:139-152 semantics).
+
+    When the one-hot factor matrices would exceed the budget (full-res
+    maps), the sum over source pixels is accumulated over chunks with a
+    ``lax.scan`` — same math, bounded memory.
     """
     b = x.shape[0]
     s = x.shape[1] * x.shape[2]
     xf = x.reshape(b, s)
     yf = y.reshape(b, s)
-    y0 = jnp.floor(yf)
-    oy = yf - y0
-    x0 = jnp.floor(xf)
-    ox = xf - x0
 
-    ty = jnp.arange(h, dtype=x.dtype)[None, :, None]  # (1, h, 1)
-    my = jnp.where(ty == y0[:, None, :], 1.0 - oy[:, None, :], 0.0) + jnp.where(
-        ty == (y0 + 1.0)[:, None, :], oy[:, None, :], 0.0
-    )  # (b, h, s)
-    tx = jnp.arange(w, dtype=x.dtype)[None, None, :]  # (1, 1, w)
-    mx = jnp.where(tx == x0[:, :, None], 1.0 - ox[:, :, None], 0.0) + jnp.where(
-        tx == (x0 + 1.0)[:, :, None], ox[:, :, None], 0.0
-    )  # (b, s, w)
-    counts = jnp.einsum(
-        "bhs,bsw->bhw", my, mx, precision=lax.Precision.HIGHEST
-    )
+    if b * s * (h + w) * 4 <= _MATMUL_SPLAT_BUDGET:
+        return _matmul_bilinear_block(xf, yf, h, w).reshape(b, h * w)
+
+    chunk = max(1024, _MATMUL_SPLAT_BUDGET // (b * (h + w) * 4))
+    n_chunks = -(-s // chunk)
+    pad = n_chunks * chunk - s
+    if pad:
+        # Padded coords land far out of range -> zero contribution.
+        xf = jnp.pad(xf, ((0, 0), (0, pad)), constant_values=-1e6)
+        yf = jnp.pad(yf, ((0, 0), (0, pad)), constant_values=-1e6)
+    xs = xf.reshape(b, n_chunks, chunk).transpose(1, 0, 2)  # (nc, b, chunk)
+    ys = yf.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    def body(acc, xy):
+        xc, yc = xy
+        return acc + _matmul_bilinear_block(xc, yc, h, w), None
+
+    counts, _ = lax.scan(body, jnp.zeros((b, h, w), x.dtype), (xs, ys))
     return counts.reshape(b, h * w)
 
 
@@ -70,14 +99,19 @@ def _scatter_bilinear(x, y, h, w):
     compute_range_map (in-range corner test) and ARFlow
     get_corresponding_map (invalid-when-clamped corners) — the two validity
     rules are numerically identical and reduce to masking out-of-range
-    corners. Dispatches to the one-hot-matmul formulation when the factor
-    matrices fit the budget (always true at the level-2 shapes the losses
-    use), else the dense masked scatter-add.
+    corners. Dispatches to the one-hot-matmul formulation (chunked above
+    the factor-matrix budget) unless the target grid is so large that the
+    matmul's O(h*w) work per source point loses to the scatter's ~72 ns
+    per point (~700k target pixels at TPU v5e matmul rates).
     """
-    b = x.shape[0]
-    s = x.shape[1] * x.shape[2]
-    if b * s * (h + w) * 4 <= _MATMUL_SPLAT_BUDGET:
+    if h * w <= _MATMUL_SPLAT_MAX_TARGET:
         return _matmul_bilinear(x, y, h, w)
+    return _scatter_add_bilinear(x, y, h, w)
+
+
+def _scatter_add_bilinear(x, y, h, w):
+    """Dense masked scatter-add splat: (B, H, W) coords -> (B, h*w)."""
+    b = x.shape[0]
     n = h * w
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)

@@ -143,8 +143,8 @@ def main():
     l_loss = get_loss(Config({
         "type": "unflow", "occ_from_back": True, "w_l1": 0.15, "w_ssim": 0.85,
         "w_ternary": 0.0, "w_smooth": 75.0, "smooth_2nd": True, "alpha": 10,
-        "w_scales": [1.0, 1.0, 1.0, 1.0, 0.0],
-        "w_sm_scales": [1.0, 0.0, 0.0, 0.0, 0.0], "warp_pad": "border",
+        "w_scales": [1.0, 1.0, 1.0, 1.0, 0.0, 0.0],
+        "w_sm_scales": [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], "warp_pad": "border",
         "with_bk": True}))
     l_vars = jax.jit(lambda r: l_model.init(r, img1, img2, with_bk=True))(
         jax.random.PRNGKey(0))

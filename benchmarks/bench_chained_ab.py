@@ -162,6 +162,81 @@ def main():
                 "ms": round(t * 1e3, 2),
                 "samples_per_s": round(B2 / max(t, 1e-9), 1),
             }))
+    # ---- PWCLite 2-frame + unflow loss @ b8 (bidir A/B only) ----
+    os.environ["ARFLOW_USE_PALLAS"] = "1"
+    l_model = get_model(Config({"type": "pwclite", "n_frames": 2,
+                                "upsample": True, "reduce_dense": True}))
+    l_loss = get_loss(Config({
+        "type": "unflow", "occ_from_back": True, "w_l1": 0.15, "w_ssim": 0.85,
+        "w_ternary": 0.0, "w_smooth": 75.0, "smooth_2nd": True, "alpha": 10,
+        "w_scales": [1.0, 1.0, 1.0, 1.0, 0.0, 0.0],
+        "w_sm_scales": [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], "warp_pad": "border",
+        "with_bk": True}))
+    l_vars = jax.jit(lambda r: l_model.init(r, img1, img2, with_bk=True))(
+        jax.random.PRNGKey(0))
+    l_params = l_vars["params"]
+    l_opt = tx.init(l_params)
+
+    def make_lchain():
+        @jax.jit
+        def chain(p, o, a, b):
+            def body(carry, _):
+                p, o = carry
+
+                def lf(pp):
+                    res = l_model.apply({"params": pp}, a, b, with_bk=True)
+                    return l_loss(res, a, b)["total"]
+
+                l, g = jax.value_and_grad(lf)(p)
+                u, o2 = tx.update(g, o, p)
+                return (optax.apply_updates(p, u), o2), l
+
+            (p2, _), ls = lax.scan(body, (p, o), None, length=CHAIN)
+            return ls[-1] + jnp.sum(jax.tree_util.tree_leaves(p2)[0])
+
+        return chain
+
+    for bidir in ("1", "0"):
+        os.environ["ARFLOW_BIDIR_BATCH"] = bidir
+        t = (timed(make_lchain(), l_params, l_opt, img1, img2) - rtt) / CHAIN
+        print(json.dumps({
+            "metric": f"pwclite2_chained_bidir{bidir}",
+            "ms": round(t * 1e3, 2),
+            "samples_per_s": round(B / max(t, 1e-9), 1),
+        }))
+
+    # ---- PWCLite 5-frame forward, chained (sliding-window batching) ----
+    frames5 = [jnp.asarray(rng.rand(4, H, W, 3).astype(np.float32))
+               for _ in range(5)]
+    f_model = get_model(Config({"type": "pwclite", "n_frames": 5,
+                                "upsample": True, "reduce_dense": True}))
+    f_vars = jax.jit(lambda r: f_model.init(r, *frames5, with_bk=True))(
+        jax.random.PRNGKey(0))
+
+    def make_f5chain():
+        @jax.jit
+        def chain(p, *ims):
+            def body(c, _):
+                res = f_model.apply(
+                    {"params": p}, ims[0] + c * 1e-12, *ims[1:], with_bk=True
+                )
+                out = sum(jnp.sum(fl[0]) for fl in res["flows_fw"])
+                return c + out * 1e-20, None
+
+            c, _ = lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
+            return c
+
+        return chain
+
+    for bidir in ("1", "0"):
+        os.environ["ARFLOW_BIDIR_BATCH"] = bidir
+        t = (timed(make_f5chain(), f_vars["params"], *frames5) - rtt) / CHAIN
+        print(json.dumps({
+            "metric": f"pwclite5_fwd_chained_bidir{bidir}",
+            "ms": round(t * 1e3, 2),
+            "samples_per_s": round(4 / max(t, 1e-9), 1),
+        }))
+
     del os.environ["ARFLOW_USE_PALLAS"]
     del os.environ["ARFLOW_BIDIR_BATCH"]
 

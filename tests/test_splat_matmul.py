@@ -1,10 +1,12 @@
 """One-hot-matmul bilinear splat == scatter-add splat (fwd and grad).
 
-The range-map splat dispatches to an MXU einsum formulation below a memory
-budget (arflow_tpu/ops/occlusion.py). Torch parity is covered by
+The range-map splat runs as an MXU einsum — chunked over source pixels
+above a factor-matrix memory budget — for target grids up to
+``_MATMUL_SPLAT_MAX_TARGET`` pixels, with a dense scatter-add beyond
+(arflow_tpu/ops/occlusion.py). Torch parity is covered by
 test_ops_parity.py (which exercises the matmul path at its shapes); here
-the two internal formulations are pinned against each other, including
-gradients and out-of-range / exactly-integer coordinates.
+the formulations are pinned against each other, including gradients,
+chunked accumulation, and out-of-range / exactly-integer coordinates.
 """
 
 import numpy as np
@@ -26,21 +28,35 @@ def _coords(rng, b, h, w, spread):
 
 
 @pytest.mark.parametrize("spread", [0.0, 3.0, 40.0])
-def test_matmul_matches_scatter(rng, monkeypatch, spread):
+def test_matmul_matches_scatter(rng, spread):
     b, h, w = 3, 12, 20
     x, y = _coords(rng, b, h, w, spread)
 
     got = jax.jit(
         lambda x, y: occlusion._matmul_bilinear(x, y, h, w)
     )(x, y)
-    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
     want = jax.jit(
-        lambda x, y: occlusion._scatter_bilinear(x, y, h, w)
+        lambda x, y: occlusion._scatter_add_bilinear(x, y, h, w)
     )(x, y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-def test_matmul_splat_gradients_match(rng, monkeypatch):
+def test_chunked_matmul_matches_unchunked(rng, monkeypatch):
+    b, h, w = 2, 16, 24
+    x, y = _coords(rng, b, h, w, 5.0)
+    want = jax.jit(
+        lambda x, y: occlusion._matmul_bilinear(x, y, h, w)
+    )(x, y)
+    # Shrink the budget so the same call goes through the lax.scan
+    # source-chunked path (with a ragged final chunk).
+    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
+    got = jax.jit(
+        lambda x, y: occlusion._matmul_bilinear(x, y, h, w)
+    )(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_matmul_splat_gradients_match(rng):
     b, h, w = 2, 10, 14
     x, y = _coords(rng, b, h, w, 2.0)
     # Keep coords off exact integers: the splat weight is non-differentiable
@@ -51,16 +67,18 @@ def test_matmul_splat_gradients_match(rng, monkeypatch):
     def loss(fn, x, y):
         return jnp.sum(jnp.tanh(fn(x, y, h, w)))
 
-    g_mm = jax.jit(jax.grad(lambda x, y: loss(occlusion._matmul_bilinear, x, y),
-                            argnums=(0, 1)))(x, y)
-    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
-    g_sc = jax.jit(jax.grad(lambda x, y: loss(occlusion._scatter_bilinear, x, y),
-                            argnums=(0, 1)))(x, y)
+    g_mm = jax.jit(jax.grad(
+        lambda x, y: loss(occlusion._matmul_bilinear, x, y), argnums=(0, 1)
+    ))(x, y)
+    g_sc = jax.jit(jax.grad(
+        lambda x, y: loss(occlusion._scatter_add_bilinear, x, y),
+        argnums=(0, 1),
+    ))(x, y)
     for a, b_ in zip(g_mm, g_sc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
-def test_dispatch_uses_scatter_above_budget(rng, monkeypatch):
+def test_dispatch_by_target_size(rng, monkeypatch):
     b, h, w = 2, 8, 8
     x, y = _coords(rng, b, h, w, 1.0)
     calls = []
@@ -70,8 +88,8 @@ def test_dispatch_uses_scatter_above_budget(rng, monkeypatch):
         lambda *a: calls.append(1) or real(*a),
     )
     occlusion._scatter_bilinear(x, y, h, w)
-    assert calls  # small shape -> matmul path
+    assert calls  # small target -> matmul path
     calls.clear()
-    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_BUDGET", 0)
+    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_MAX_TARGET", 0)
     occlusion._scatter_bilinear(x, y, h, w)
-    assert not calls  # above budget -> dense scatter path
+    assert not calls  # huge target -> dense scatter path

@@ -72,6 +72,7 @@ def get_model(cfg):
             n_frames=cfg.n_frames,
             upsample=cfg.get("upsample", True),
             reduce_dense=cfg.get("reduce_dense", True),
+            dtype=_parse_dtype(cfg.get("dtype")),
         )
     if cfg.type == "pwclite_prob":
         return PWCLiteProb(

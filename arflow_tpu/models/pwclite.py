@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from arflow_tpu.models.bidir import bidir_batch_enabled
@@ -24,9 +25,10 @@ from arflow_tpu.ops import compute_cost_volume, flow_warp, resize_bilinear
 _ALPHA = 0.1
 
 
-def _conv(features, kernel_size=3, stride=1, dilation=1, name=None):
+def _conv(features, kernel_size=3, stride=1, dilation=1, name=None, dtype=None):
     return conv2d(
-        features, kernel_size, stride, dilation, name=name, kernel_init=kaiming_normal
+        features, kernel_size, stride, dilation, name=name,
+        kernel_init=kaiming_normal, dtype=dtype,
     )
 
 
@@ -46,14 +48,18 @@ class FeatureExtractor(nn.Module):
     pyramid coarsest-first (reference reverses)."""
 
     num_chs: Sequence[int] = (3, 16, 32, 64, 96, 128, 192)
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params f32
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         pyramid = []
         for level, ch_out in enumerate(self.num_chs[1:]):
-            x = _conv(ch_out, stride=2, name=f"conv_l{level}_0")(x)
+            x = _conv(ch_out, stride=2, name=f"conv_l{level}_0",
+                      dtype=self.dtype)(x)
             x = leaky_relu(x, _ALPHA)
-            x = _conv(ch_out, name=f"conv_l{level}_1")(x)
+            x = _conv(ch_out, name=f"conv_l{level}_1", dtype=self.dtype)(x)
             x = leaky_relu(x, _ALPHA)
             pyramid.append(x)
         return pyramid[::-1]
@@ -63,15 +69,17 @@ class FlowEstimatorDense(nn.Module):
     """models/pwclite.py:48-66 dense-net estimator; returns (features, flow)."""
 
     ch_out: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x1 = jnp.concatenate([leaky_relu(_conv(128, name="conv1")(x), _ALPHA), x], -1)
-        x2 = jnp.concatenate([leaky_relu(_conv(128, name="conv2")(x1), _ALPHA), x1], -1)
-        x3 = jnp.concatenate([leaky_relu(_conv(96, name="conv3")(x2), _ALPHA), x2], -1)
-        x4 = jnp.concatenate([leaky_relu(_conv(64, name="conv4")(x3), _ALPHA), x3], -1)
-        x5 = jnp.concatenate([leaky_relu(_conv(32, name="conv5")(x4), _ALPHA), x4], -1)
-        out = _conv(self.ch_out, name="conv_last")(x5)
+        c = lambda f, name: _conv(f, name=name, dtype=self.dtype)
+        x1 = jnp.concatenate([leaky_relu(c(128, "conv1")(x), _ALPHA), x], -1)
+        x2 = jnp.concatenate([leaky_relu(c(128, "conv2")(x1), _ALPHA), x1], -1)
+        x3 = jnp.concatenate([leaky_relu(c(96, "conv3")(x2), _ALPHA), x2], -1)
+        x4 = jnp.concatenate([leaky_relu(c(64, "conv4")(x3), _ALPHA), x3], -1)
+        x5 = jnp.concatenate([leaky_relu(c(32, "conv5")(x4), _ALPHA), x4], -1)
+        out = c(self.ch_out, "conv_last")(x5)
         return x5, out
 
 
@@ -79,15 +87,17 @@ class FlowEstimatorReduce(nn.Module):
     """models/pwclite.py:69-88 reduced estimator; returns (features, flow)."""
 
     ch_out: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x1 = leaky_relu(_conv(128, name="conv1")(x), _ALPHA)
-        x2 = leaky_relu(_conv(128, name="conv2")(x1), _ALPHA)
-        x3 = leaky_relu(_conv(96, name="conv3")(jnp.concatenate([x1, x2], -1)), _ALPHA)
-        x4 = leaky_relu(_conv(64, name="conv4")(jnp.concatenate([x2, x3], -1)), _ALPHA)
-        x5 = leaky_relu(_conv(32, name="conv5")(jnp.concatenate([x3, x4], -1)), _ALPHA)
-        flow = _conv(self.ch_out, name="predict_flow")(jnp.concatenate([x4, x5], -1))
+        c = lambda f, name: _conv(f, name=name, dtype=self.dtype)
+        x1 = leaky_relu(c(128, "conv1")(x), _ALPHA)
+        x2 = leaky_relu(c(128, "conv2")(x1), _ALPHA)
+        x3 = leaky_relu(c(96, "conv3")(jnp.concatenate([x1, x2], -1)), _ALPHA)
+        x4 = leaky_relu(c(64, "conv4")(jnp.concatenate([x2, x3], -1)), _ALPHA)
+        x5 = leaky_relu(c(32, "conv5")(jnp.concatenate([x3, x4], -1)), _ALPHA)
+        flow = c(self.ch_out, "predict_flow")(jnp.concatenate([x4, x5], -1))
         return x5, flow
 
 
@@ -95,13 +105,17 @@ class ContextNetwork(nn.Module):
     """models/pwclite.py:91-106 dilated context refinement."""
 
     ch_out: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         specs = [(128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)]
         for i, (c, d) in enumerate(specs):
-            x = leaky_relu(_conv(c, dilation=d, name=f"ctx_{i}")(x), _ALPHA)
-        return _conv(self.ch_out, name="ctx_out")(x)
+            x = leaky_relu(
+                _conv(c, dilation=d, name=f"ctx_{i}", dtype=self.dtype)(x),
+                _ALPHA,
+            )
+        return _conv(self.ch_out, name="ctx_out", dtype=self.dtype)(x)
 
 
 class PWCLite(nn.Module):
@@ -113,14 +127,22 @@ class PWCLite(nn.Module):
     reduce_dense: bool = True
     search_range: int = 4
     output_level: int = 4  # stop at 1/4 resolution (pyramid index 4)
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
 
     def setup(self):
-        self.feature_extractor = FeatureExtractor(name="feature_pyramid")
+        self.feature_extractor = FeatureExtractor(
+            name="feature_pyramid", dtype=self.dtype
+        )
         estimator_cls = FlowEstimatorReduce if self.reduce_dense else FlowEstimatorDense
-        self.flow_estimator = estimator_cls(ch_out=2, name="flow_estimator")
-        self.context_network = ContextNetwork(ch_out=2, name="context_network")
+        self.flow_estimator = estimator_cls(
+            ch_out=2, name="flow_estimator", dtype=self.dtype
+        )
+        self.context_network = ContextNetwork(
+            ch_out=2, name="context_network", dtype=self.dtype
+        )
         self.adapters = [
-            _conv(32, kernel_size=1, name=f"conv_1x1_{l}") for l in range(5)
+            _conv(32, kernel_size=1, name=f"conv_1x1_{l}", dtype=self.dtype)
+            for l in range(5)
         ]
 
     def _corr(self, x1, x2):
@@ -257,6 +279,10 @@ class PWCLite(nn.Module):
                     res["flows_bw"] = [flows_21, flows_32]
         else:
             raise NotImplementedError(f"{n} frames")
+        if self.dtype is not None:
+            res = jax.tree_util.tree_map(
+                lambda f: f.astype(jnp.float32), res
+            )
         return res
 
 

@@ -79,6 +79,7 @@ def get_model(cfg):
             n_frames=cfg.n_frames,
             upsample=cfg.get("upsample", True),
             reduce_dense=cfg.get("reduce_dense", True),
+            dtype=_parse_dtype(cfg.get("dtype")),
         )
     if cfg.type == "pwclite_uflow":
         return PWCLiteUflow(
@@ -88,5 +89,6 @@ def get_model(cfg):
             feature_norm=cfg.get("feature_norm", False),
             align_corners=cfg.get("align_corners", True),
             warp_pad=cfg.get("warp_pad", "zeros"),
+            dtype=_parse_dtype(cfg.get("dtype")),
         )
     raise NotImplementedError(cfg.type)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from arflow_tpu.models.bidir import bidir_batch_enabled
@@ -36,14 +37,22 @@ class PWCLiteProb(nn.Module):
     reduce_dense: bool = True
     search_range: int = 4
     output_level: int = 4
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
 
     def setup(self):
-        self.feature_extractor = FeatureExtractor(name="feature_pyramid")
+        self.feature_extractor = FeatureExtractor(
+            name="feature_pyramid", dtype=self.dtype
+        )
         estimator_cls = FlowEstimatorReduce if self.reduce_dense else FlowEstimatorDense
-        self.flow_estimator = estimator_cls(ch_out=4, name="flow_estimator")
-        self.context_network = ContextNetwork(ch_out=4, name="context_network")
+        self.flow_estimator = estimator_cls(
+            ch_out=4, name="flow_estimator", dtype=self.dtype
+        )
+        self.context_network = ContextNetwork(
+            ch_out=4, name="context_network", dtype=self.dtype
+        )
         self.adapters = [
-            _conv(32, kernel_size=1, name=f"conv_1x1_{l}") for l in range(5)
+            _conv(32, kernel_size=1, name=f"conv_1x1_{l}", dtype=self.dtype)
+            for l in range(5)
         ]
 
     def forward_2_frames(self, p1, p2):
@@ -96,11 +105,16 @@ class PWCLiteProb(nn.Module):
             pb = [jnp.concatenate([b, a], axis=0) for a, b in zip(p1, p2)]
             outs = self.forward_2_frames(pa, pb)
             nb = img1.shape[0]
-            return {
+            res = {
                 "flows_fw": [o[:nb] for o in outs],
                 "flows_bw": [o[nb:] for o in outs],
             }
-        res = {"flows_fw": self.forward_2_frames(p1, p2)}
-        if with_bk:
-            res["flows_bw"] = self.forward_2_frames(p2, p1)
+        else:
+            res = {"flows_fw": self.forward_2_frames(p1, p2)}
+            if with_bk:
+                res["flows_bw"] = self.forward_2_frames(p2, p1)
+        if self.dtype is not None:
+            res = jax.tree_util.tree_map(
+                lambda f: f.astype(jnp.float32), res
+            )
         return res

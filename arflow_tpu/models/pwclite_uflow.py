@@ -43,15 +43,19 @@ class ThinFeatureExtractor(nn.Module):
     """models/pwclite_uflow.py:42-66: 3 convs per level, [-1,1] rescale."""
 
     num_chs = (3, 16, 32, 32, 32, 32)
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params f32
 
     @nn.compact
     def __call__(self, x):
         x = x * 2.0 - 1.0
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        c = lambda f, name, **kw: _conv(f, name=name, dtype=self.dtype, **kw)
         pyramid = []
         for level, ch_out in enumerate(self.num_chs[1:]):
-            x = leaky_relu(_conv(ch_out, stride=2, name=f"conv_l{level}_0")(x), _ALPHA)
-            x = leaky_relu(_conv(ch_out, name=f"conv_l{level}_1")(x), _ALPHA)
-            x = leaky_relu(_conv(ch_out, name=f"conv_l{level}_2")(x), _ALPHA)
+            x = leaky_relu(c(ch_out, f"conv_l{level}_0", stride=2)(x), _ALPHA)
+            x = leaky_relu(c(ch_out, f"conv_l{level}_1")(x), _ALPHA)
+            x = leaky_relu(c(ch_out, f"conv_l{level}_2")(x), _ALPHA)
             pyramid.append(x)
         return pyramid[::-1]
 
@@ -66,18 +70,24 @@ class PWCLiteUflow(nn.Module):
     search_range: int = 4
     output_level: int = 3  # top-to-bottom index; stops at 1/4 resolution
     deconv_chs: int = 32
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
 
     def setup(self):
-        self.feature_extractor = ThinFeatureExtractor(name="feature_pyramid")
+        self.feature_extractor = ThinFeatureExtractor(
+            name="feature_pyramid", dtype=self.dtype
+        )
         estimator_cls = FlowEstimatorReduce if self.reduce_dense else FlowEstimatorDense
         self.estimators = [
-            estimator_cls(ch_out=2, name=f"flow_estimator_{l}")
+            estimator_cls(ch_out=2, name=f"flow_estimator_{l}", dtype=self.dtype)
             for l in range(self.output_level + 1)
         ]
-        self.context_network = ContextNetwork(ch_out=2, name="context_network")
+        self.context_network = ContextNetwork(
+            ch_out=2, name="context_network", dtype=self.dtype
+        )
         self.deconvs = [
             ConvTranspose2dTorch(
-                self.deconv_chs, kernel_size=4, stride=2, padding=1, name=f"deconv_{l}"
+                self.deconv_chs, kernel_size=4, stride=2, padding=1,
+                name=f"deconv_{l}", dtype=self.dtype,
             )
             for l in range(self.output_level)
         ]
@@ -159,11 +169,16 @@ class PWCLiteUflow(nn.Module):
             pb = [jnp.concatenate([b, a], axis=0) for a, b in zip(p1, p2)]
             flows = self.forward_2_frames(pa, pb, train, num_groups=2)
             nb = img1.shape[0]
-            return {
+            res = {
                 "flows_fw": [f[:nb] for f in flows],
                 "flows_bw": [f[nb:] for f in flows],
             }
-        res = {"flows_fw": self.forward_2_frames(p1, p2, train)}
-        if with_bk:
-            res["flows_bw"] = self.forward_2_frames(p2, p1, train)
+        else:
+            res = {"flows_fw": self.forward_2_frames(p1, p2, train)}
+            if with_bk:
+                res["flows_bw"] = self.forward_2_frames(p2, p1, train)
+        if self.dtype is not None:
+            res = jax.tree_util.tree_map(
+                lambda f: f.astype(jnp.float32), res
+            )
         return res

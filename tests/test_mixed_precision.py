@@ -58,3 +58,30 @@ def test_pwclite_bf16_matches_f32_closely(rng):
         scale = float(jnp.mean(jnp.abs(o32[key][0]))) + 1e-6
         rel = float(jnp.mean(jnp.abs(o32[key][0] - o16[key][0]))) / scale
         assert rel < 0.05, f"bf16 {key} deviates too much: {rel}"
+
+
+def test_pwclite_prob_and_uflow_bf16(rng):
+    for base in (
+        {"type": "pwclite_prob", "n_frames": 2, "upsample": True,
+         "reduce_dense": True},
+        {"type": "pwclite_uflow", "n_frames": 2, "reduce_dense": True,
+         "feature_norm": True, "align_corners": True, "warp_pad": "border",
+         "level_dropout": 0.0},
+    ):
+        m32 = get_model(Config(dict(base)))
+        m16 = get_model(Config(dict(base, dtype="bfloat16")))
+        i1 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        i2 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        variables = jax.jit(lambda r: m32.init(r, i1, i2, with_bk=True))(
+            jax.random.PRNGKey(0)
+        )
+        o32 = jax.jit(lambda v, a, b: m32.apply(v, a, b, with_bk=True))(
+            variables, i1, i2
+        )["flows_fw"][0]
+        o16 = jax.jit(lambda v, a, b: m16.apply(v, a, b, with_bk=True))(
+            variables, i1, i2
+        )["flows_fw"][0]
+        assert o16.dtype == jnp.float32, base["type"]
+        scale = float(jnp.mean(jnp.abs(o32))) + 1e-6
+        rel = float(jnp.mean(jnp.abs(o32 - o16))) / scale
+        assert rel < 0.06, f"{base['type']} bf16 deviates: {rel}"

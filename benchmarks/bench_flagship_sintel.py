@@ -77,6 +77,34 @@ def main():
     except Exception:
         pass
 
+    # Scan-amortized cross-check (ITERS fwd passes inside one lax.scan —
+    # drowns the tunnel's fetch jitter) + the bf16 row at Sintel res.
+    from jax import lax
+
+    ITERS = 10
+
+    def scan_fwd(m, v):
+        @jax.jit
+        def run(v, a, b):
+            def body(c, _):
+                out = m.apply(v, a + c * 1e-12, b, with_bk=False)
+                return (
+                    c + jnp.sum(out["flows_fw"][0].astype(jnp.float32)) * 1e-20,
+                    None,
+                )
+
+            c, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+            return c
+
+        return (timed(run, v, img1, img2) - rtt) / ITERS
+
+    t_scan = scan_fwd(model, variables)
+    extra["scan_amortized_maps_per_sec"] = round(batch / max(t_scan, 1e-9), 3)
+    model_bf16 = PWCFlow(level_dropout=0.0, feature_norm=True,
+                         dtype=jnp.bfloat16)
+    t16 = scan_fwd(model_bf16, variables)
+    extra["bf16_maps_per_sec"] = round(batch / max(t16, 1e-9), 3)
+
     print(json.dumps({
         "metric": "uflow_inference_448x1024_maps_per_sec",
         "value": round(batch / dt, 3),

@@ -86,6 +86,16 @@ def compute_cost_volume(
                     features1, features2, max_displacement
                 )
             if supported(features1.shape, max_displacement):
+                if features1.dtype == jnp.bfloat16:
+                    # Same f32 round-trip as the v2 path: the v1 kernel
+                    # accumulates in the input dtype, so bf16 inputs would
+                    # otherwise lose the accumulation precision the cast
+                    # above was added to preserve.
+                    return cost_volume_pallas(
+                        features1.astype(jnp.float32),
+                        features2.astype(jnp.float32),
+                        max_displacement,
+                    ).astype(jnp.bfloat16)
                 return cost_volume_pallas(features1, features2, max_displacement)
         except ImportError:
             pass

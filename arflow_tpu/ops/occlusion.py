@@ -68,11 +68,22 @@ def _matmul_bilinear(x, y, h, w):
     """
     b = x.shape[0]
     s = x.shape[1] * x.shape[2]
+    # The one-hot test below relies on EXACT float equality (ty == y0):
+    # correct in f32 (integer coords are representable), silently drops taps
+    # for bf16 coords (integers > 256 unrepresentable). Force f32 and cast
+    # the counts back so both splat paths return the caller's dtype.
+    out_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     xf = x.reshape(b, s)
     yf = y.reshape(b, s)
 
     if b * s * (h + w) * 4 <= _MATMUL_SPLAT_BUDGET:
-        return _matmul_bilinear_block(xf, yf, h, w).reshape(b, h * w)
+        return (
+            _matmul_bilinear_block(xf, yf, h, w)
+            .reshape(b, h * w)
+            .astype(out_dtype)
+        )
 
     chunk = max(1024, _MATMUL_SPLAT_BUDGET // (b * (h + w) * 4))
     n_chunks = -(-s // chunk)
@@ -89,7 +100,7 @@ def _matmul_bilinear(x, y, h, w):
         return acc + _matmul_bilinear_block(xc, yc, h, w), None
 
     counts, _ = lax.scan(body, jnp.zeros((b, h, w), x.dtype), (xs, ys))
-    return counts.reshape(b, h * w)
+    return counts.reshape(b, h * w).astype(out_dtype)
 
 
 def _scatter_bilinear(x, y, h, w):
@@ -102,9 +113,12 @@ def _scatter_bilinear(x, y, h, w):
     corners. Dispatches to the one-hot-matmul formulation (chunked above
     the factor-matrix budget) unless the target grid is so large that the
     matmul's O(h*w) work per source point loses to the scatter's ~72 ns
-    per point (~700k target pixels at TPU v5e matmul rates).
+    per point (~700k target pixels at TPU v5e matmul rates). The matmul
+    path and its size threshold are TPU-measured; on CPU/GPU backends the
+    O(h*w)-per-point einsum can be orders of magnitude more FLOPs than a
+    scatter-add, so other backends keep the scatter path.
     """
-    if h * w <= _MATMUL_SPLAT_MAX_TARGET:
+    if jax.default_backend() == "tpu" and h * w <= _MATMUL_SPLAT_MAX_TARGET:
         return _matmul_bilinear(x, y, h, w)
     return _scatter_add_bilinear(x, y, h, w)
 

@@ -87,9 +87,43 @@ def test_dispatch_by_target_size(rng, monkeypatch):
         occlusion, "_matmul_bilinear",
         lambda *a: calls.append(1) or real(*a),
     )
+    # The matmul path (and its size threshold) is TPU-measured; other
+    # backends keep the scatter path (advisor round 2).
+    monkeypatch.setattr(occlusion.jax, "default_backend", lambda: "tpu")
     occlusion._scatter_bilinear(x, y, h, w)
-    assert calls  # small target -> matmul path
+    assert calls  # small target on TPU -> matmul path
     calls.clear()
     monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_MAX_TARGET", 0)
     occlusion._scatter_bilinear(x, y, h, w)
     assert not calls  # huge target -> dense scatter path
+    calls.clear()
+    monkeypatch.setattr(occlusion, "_MATMUL_SPLAT_MAX_TARGET", 600_000)
+    monkeypatch.setattr(occlusion.jax, "default_backend", lambda: "cpu")
+    occlusion._scatter_bilinear(x, y, h, w)
+    assert not calls  # non-TPU backend -> scatter path
+
+
+def test_matmul_splat_bf16_coords_exact(rng):
+    # bf16 coords would silently drop one-hot taps (integers > 256 are
+    # unrepresentable); the splat must promote internally to f32 and
+    # return the caller's dtype (advisor round 2).
+    b, h, w = 2, 12, 300
+    x, y = _coords(rng, b, h, w, 0.0)
+    got = occlusion._matmul_bilinear(
+        x.astype(jnp.bfloat16), y.astype(jnp.bfloat16), h, w
+    )
+    assert got.dtype == jnp.bfloat16
+    want = occlusion._matmul_bilinear(
+        x.astype(jnp.bfloat16).astype(jnp.float32),
+        y.astype(jnp.bfloat16).astype(jnp.float32),
+        h,
+        w,
+    )
+    # atol = one bf16 ulp at the largest count (the OUTPUT cast rounds).
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want), atol=0.05
+    )
+    # The f32 promotion must preserve exactly-integer taps beyond bf16's
+    # integer range (x > 256): every splatted column keeps its mass.
+    col_mass = np.asarray(jnp.sum(want.reshape(b, h, w), axis=(0, 1)))
+    assert col_mass[256:].sum() > 0.0  # taps beyond bf16 integer range exist

@@ -5,13 +5,21 @@ Measures flow maps/sec for 2-frame forward inference at 384x640 (the
 reference README's recommended KITTI/Cityscapes resolution,
 /root/reference/README.md:50), batched to keep the chip busy.
 
+Timing methodology (round 3): CHAIN forwards back-to-back inside one jitted
+lax.scan with a data-dependent carry, total time minus the trivial-fetch RTT,
+divided by CHAIN. Single-shot RTT-subtracted timing (rounds 1-2) is +-10 ms
+noise on this host — BENCH_r02 measured bf16 slower than f32 from pure
+methodology noise; the chained number is the steady-state rate a real
+pipeline sees and is validated against a python-sequential loop in
+BASELINE.md ("TIMING CORRECTION"). Run-to-run spread is reported per mode.
+
 Baseline (vs_baseline denominator): the reference PyTorch PWCFlow
 (models/uflow_model.py, correlation_native path — the only runnable path
 without a CUDA-9 toolchain) measured on this machine's CPU:
 1.195 flow maps/sec @ 384x640 batch 1 (see BASELINE.md). The BASELINE.json
 north star is >=5x this.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mode", ...}.
 """
 
 from __future__ import annotations
@@ -22,6 +30,8 @@ import time
 import numpy as np
 
 REFERENCE_CPU_MAPS_PER_SEC = 1.195  # measured 2026-08-16, torch 2.13 CPU
+CHAIN = 50
+REPS = 5
 
 
 def main():
@@ -37,95 +47,109 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    from jax import lax
 
     from arflow_tpu.models.uflow import PWCFlow
 
-    model = PWCFlow(level_dropout=0.0, feature_norm=True)
     h, w = 384, 640
     batch = 8
     rng = np.random.RandomState(0)
     img1 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
     img2 = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
 
-    init_fn = jax.jit(lambda r: model.init(r, img1, img2, with_bk=False))
-    variables = init_fn(jax.random.PRNGKey(0))
+    model = PWCFlow(level_dropout=0.0, feature_norm=True)
+    variables = jax.jit(lambda r: model.init(r, img1, img2, with_bk=False))(
+        jax.random.PRNGKey(0)
+    )
+    params = variables["params"]
 
-    # Timing methodology: on the axon-tunneled TPU, block_until_ready does not
-    # wait for remote execution; a scalar fetch does. Device compute time is
-    # estimated as (forward+fetch) - (trivial fetch RTT), medians over 10 reps.
+    # On the axon-tunneled TPU, block_until_ready does not wait for remote
+    # execution; a scalar fetch does. RTT of a trivial fetch is subtracted
+    # from the chained total.
     @jax.jit
     def trivial(a):
         return jnp.sum(a)
 
-    @jax.jit
-    def forward_reduced(params, a, b):
-        out = model.apply({"params": params}, a, b, with_bk=False)["flows_fw"][0]
-        return jnp.sum(out)
-
-    float(trivial(img1))  # compile
-    float(forward_reduced(variables["params"], img1, img2))  # compile
-
-    def timed(f, *a, reps=10):
+    def timed(f, *a, reps=REPS):
+        float(f(*a))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.time()
             float(f(*a))
             ts.append(time.time() - t0)
-        return float(np.median(ts))
+        ts = np.asarray(ts, dtype=np.float64)
+        return float(np.median(ts)), ts
 
-    rtt = timed(trivial, img1)
-    fwd = timed(forward_reduced, variables["params"], img1, img2)
-    dt = max(fwd - rtt, 1e-6)
-    maps_per_sec = batch / dt
+    rtt, _ = timed(trivial, img1)
 
-    # FLOPs from the compiled program (XLA cost analysis); MFU against the
-    # chip's bf16 MXU peak (TPU v5e: 197 TFLOP/s — f32 convs run on the same
-    # MXU via multi-pass, so bf16 peak is the honest denominator).
-    PEAK_TFLOPS = 197.0
-    flops = None
-    try:
-        an = (
-            forward_reduced.lower(variables["params"], img1, img2)
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(an, (list, tuple)):
-            an = an[0]
-        flops = float(an.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    extra = {}
-    if flops:
-        tflops_s = flops / dt / 1e12
-        extra = {
-            "program_gflops_per_batch": round(flops / 1e9, 1),
-            "tflops_per_s": round(tflops_s, 2),
-            "mfu_pct_of_bf16_peak": round(100.0 * tflops_s / PEAK_TFLOPS, 2),
-        }
-
-    # bf16 compute (the recommended inference mode — EPE-safe per
-    # BASELINE.md round-2 validation: inference dtype delta 0.02-0.03 px
-    # mean, well inside the BASELINE.json <=0.05 EPE acceptance band, and
-    # bf16 TRAINS to equal-or-better EPE; params/outputs stay f32).
-    headline = maps_per_sec
-    extra["f32_maps_per_sec"] = round(maps_per_sec, 3)
-    try:
-        model_bf16 = PWCFlow(
-            level_dropout=0.0, feature_norm=True, dtype=jnp.bfloat16
-        )
+    # bf16 is the recommended inference mode — EPE-safe per BASELINE.md
+    # round-2 validation and the round-3 REAL-IMAGE check (mean 0.0195 px /
+    # max 0.13 px vs torch f32 at 448x1024 on the reference example frames,
+    # tests/test_real_image_parity.py); params/outputs stay f32.
+    modes = {
+        "f32": model,
+        "bf16": PWCFlow(level_dropout=0.0, feature_norm=True,
+                        dtype=jnp.bfloat16),
+    }
+    results = {}
+    for mode, m in modes.items():
 
         @jax.jit
-        def forward_bf16(params, a, b):
-            out = model_bf16.apply({"params": params}, a, b, with_bk=False)
-            return jnp.sum(out["flows_fw"][0])
+        def chain(p, a, b, _m=m):
+            def body(c, _):
+                out = _m.apply(
+                    {"params": p}, a + c * 1e-12, b, with_bk=False
+                )["flows_fw"][0]
+                return c + jnp.sum(out) * 1e-20, None
 
-        float(forward_bf16(variables["params"], img1, img2))
-        fwd16 = timed(forward_bf16, variables["params"], img1, img2)
-        bf16_maps = batch / max(fwd16 - rtt, 1e-6)
-        extra["bf16_maps_per_sec"] = round(bf16_maps, 3)
-        headline = max(headline, bf16_maps)
-    except Exception:
-        pass
+            c, _ = lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
+            return c
+
+        total, ts = timed(chain, params, img1, img2)
+        dt = max(total - rtt, 1e-6) / CHAIN
+        spread = float((ts.max() - ts.min()) / np.median(ts))
+
+        # FLOPs of the single-forward program for this mode (XLA cost
+        # analysis); MFU against the chip's bf16 MXU peak (TPU v5e:
+        # 197 TFLOP/s — f32 convs run on the same MXU via multi-pass, so
+        # bf16 peak is the honest denominator for BOTH modes).
+        flops = None
+        try:
+
+            @jax.jit
+            def fwd(p, a, b, _m=m):
+                out = _m.apply({"params": p}, a, b, with_bk=False)
+                return jnp.sum(out["flows_fw"][0])
+
+            an = fwd.lower(params, img1, img2).compile().cost_analysis()
+            if isinstance(an, (list, tuple)):
+                an = an[0]
+            flops = float(an.get("flops", 0.0)) or None
+        except Exception:
+            pass
+
+        entry = {
+            "maps_per_sec": round(batch / dt, 3),
+            "ms_per_batch": round(dt * 1e3, 3),
+            "spread_pct": round(100.0 * spread, 2),
+        }
+        if flops:
+            tflops_s = flops / dt / 1e12
+            entry["tflops_per_s"] = round(tflops_s, 2)
+            entry["mfu_pct_of_bf16_peak"] = round(100.0 * tflops_s / 197.0, 2)
+        results[mode] = entry
+
+    headline_mode = max(results, key=lambda k: results[k]["maps_per_sec"])
+    headline = results[headline_mode]["maps_per_sec"]
+
+    extra = {
+        "mode": headline_mode,
+        "timing": f"chained_scan_x{CHAIN}_median_of_{REPS}",
+        "rtt_ms": round(rtt * 1e3, 2),
+    }
+    for mode, entry in results.items():
+        for k, v in entry.items():
+            extra[f"{mode}_{k}"] = v
 
     print(
         json.dumps(

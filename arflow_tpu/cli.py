@@ -102,7 +102,20 @@ def train_cli(argv=None):
     parser.add_argument("-m", "--model", default=None)
     parser.add_argument("--n_gpu", type=int, default=None,
                         help="kept for CLI parity; device count comes from JAX")
+    # Multi-host launch (one process per host; SURVEY §2.3 DCN axis). After
+    # initialize_multihost, jax.devices() spans all hosts and the trainer's
+    # mesh shards the batch over the full DCN x ICI grid.
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator host:port for jax.distributed")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.coordinator is not None:
+        from arflow_tpu.parallel import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
 
     cfg = load_config(args.config)
     if args.evaluate:

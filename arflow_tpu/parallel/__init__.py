@@ -8,6 +8,9 @@ XLA-inserted all-reduces for gradients under ``jit``.
 
 from arflow_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_hybrid_mesh,
+    initialize_multihost,
+    dp_axes,
     shard_batch,
     replicate,
     batch_sharding,

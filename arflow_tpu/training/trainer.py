@@ -242,7 +242,13 @@ class BaseTrainer:
         fetched = jax.device_get([m for (_, _, _, m) in self._pending_metrics])
         for (it, step, n, _), vals in zip(self._pending_metrics, fetched):
             row = [float(vals[k]) for k in metric_keys]
-            assert not np.isnan(row[0]), "training loss is NaN"
+            if not np.isfinite(row[0]):
+                # The rows are queued per step, so the flush attributes the
+                # exact failing iteration even though the fetch is deferred.
+                raise FloatingPointError(
+                    f"non-finite training loss ({row[0]}) at iter {it} "
+                    f"(epoch {self.i_epoch}, step {step})"
+                )
             key_meters.update(row, n)
             if it % self.cfg.record_freq == 0:
                 for v, name in zip(key_meters.val, key_meter_names):

@@ -66,6 +66,7 @@ def get_model(cfg):
             inv_cov=cfg.get("inv_cov", False),
             n_pyramids=cfg.get("n_pyramids", 1),
             mixture_weights=cfg.get("mixture_weights", False),
+            dtype=_parse_dtype(cfg.get("dtype")),
         )
     if cfg.type == "pwclite":
         return PWCLite(

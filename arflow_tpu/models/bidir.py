@@ -26,3 +26,15 @@ def bidir_batch_enabled(default: bool = False) -> bool:
     if env is not None:
         return env == "1"
     return default
+
+
+def component_batch_enabled(default: bool = True) -> bool:
+    """Batch the K mixture components of PWCProbFlow (n_pyramids > 1)
+    along the batch axis through ONE shared-weight decoder pass instead of
+    K sequential passes. Exact numerics (the decoder weights are shared
+    across components, uflow_prob_model.py:187,391-404; all per-sample
+    ops). ``ARFLOW_COMPONENT_BATCH=0/1`` force-overrides at trace time."""
+    env = os.environ.get("ARFLOW_COMPONENT_BATCH")
+    if env is not None:
+        return env == "1"
+    return default

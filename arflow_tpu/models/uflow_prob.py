@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from arflow_tpu.models.bidir import bidir_batch_enabled
+from arflow_tpu.models.bidir import bidir_batch_enabled, component_batch_enabled
 from arflow_tpu.models.layers import (
     ConvTranspose2dTorch,
     conv2d,
@@ -273,25 +273,70 @@ class PWCProbFlow(nn.Module):
     def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):
         flows_fw, flows_bw = [], []
         nb = img1.shape[0]
-        for k in range(self.n_pyramids):
-            f1 = self.pyramids[k](img1)
-            f2 = self.pyramids[k](img2)
-            if with_bk and bidir_batch_enabled(default=True):
-                # Batched bidirectional pass (see PWCFlow.__call__;
-                # per-sample numerics unchanged). Default ON: the full
-                # sparse-ELBO train step measured 75.3 ms/step batched vs
-                # 86.7 sequential @256x448 b4 on TPU v5e under chained
-                # ground-truth timing (benchmarks/bench_chained_ab.py;
-                # ARFLOW_BIDIR_BATCH=0 to force sequential).
-                fa = [jnp.concatenate([a, b], axis=0) for a, b in zip(f1, f2)]
-                fb = [jnp.concatenate([b, a], axis=0) for a, b in zip(f1, f2)]
-                outs = self.forward_2_frames(fa, fb, train, num_groups=2)
-                flows_fw.append([o[:nb] for o in outs])
-                flows_bw.append([o[nb:] for o in outs])
+        bidir = with_bk and bidir_batch_enabled(default=True)
+        if self.n_pyramids > 1 and component_batch_enabled(default=True):
+            # The K mixture components SHARE the flow decoder — only the
+            # feature pyramids carry per-component weights
+            # (uflow_prob_model.py:187,391-404) — so all K components (and,
+            # when enabled, both directions) ride the batch axis through
+            # ONE decoder pass: K*B (or 2K*B) instead of K (2K) sequential
+            # thin-batch passes. Exact per-sample numerics; dropout draws
+            # stay independent per (component, direction) via num_groups.
+            pairs = []
+            both = jnp.concatenate([img1, img2], axis=0)
+            for k in range(self.n_pyramids):
+                fboth = self.pyramids[k](both)
+                pairs.append(([f[:nb] for f in fboth], [f[nb:] for f in fboth]))
+
+            def run(srcs, tgts):
+                fa = [jnp.concatenate(p, axis=0) for p in zip(*srcs)]
+                fb = [jnp.concatenate(p, axis=0) for p in zip(*tgts)]
+                outs = self.forward_2_frames(
+                    fa, fb, train, num_groups=len(srcs)
+                )
+                return [
+                    [o[k * nb : (k + 1) * nb] for o in outs]
+                    for k in range(len(srcs))
+                ]
+
+            if bidir:
+                groups = run(
+                    [p[0] for p in pairs] + [p[1] for p in pairs],
+                    [p[1] for p in pairs] + [p[0] for p in pairs],
+                )
+                flows_fw = groups[: self.n_pyramids]
+                flows_bw = groups[self.n_pyramids :]
             else:
-                flows_fw.append(self.forward_2_frames(f1, f2, train))
+                flows_fw = run([p[0] for p in pairs], [p[1] for p in pairs])
                 if with_bk:
-                    flows_bw.append(self.forward_2_frames(f2, f1, train))
+                    flows_bw = run(
+                        [p[1] for p in pairs], [p[0] for p in pairs]
+                    )
+        else:
+            for k in range(self.n_pyramids):
+                f1 = self.pyramids[k](img1)
+                f2 = self.pyramids[k](img2)
+                if bidir:
+                    # Batched bidirectional pass (see PWCFlow.__call__;
+                    # per-sample numerics unchanged). Default ON: the full
+                    # sparse-ELBO train step measured 75.3 ms/step batched
+                    # vs 86.7 sequential @256x448 b4 on TPU v5e under
+                    # chained ground-truth timing
+                    # (benchmarks/bench_chained_ab.py;
+                    # ARFLOW_BIDIR_BATCH=0 to force sequential).
+                    fa = [
+                        jnp.concatenate([a, b], axis=0) for a, b in zip(f1, f2)
+                    ]
+                    fb = [
+                        jnp.concatenate([b, a], axis=0) for a, b in zip(f1, f2)
+                    ]
+                    outs = self.forward_2_frames(fa, fb, train, num_groups=2)
+                    flows_fw.append([o[:nb] for o in outs])
+                    flows_bw.append([o[nb:] for o in outs])
+                else:
+                    flows_fw.append(self.forward_2_frames(f1, f2, train))
+                    if with_bk:
+                        flows_bw.append(self.forward_2_frames(f2, f1, train))
         res = {"flows_fw": self.flows_cat(flows_fw)}
         if with_bk:
             res["flows_bw"] = self.flows_cat(flows_bw)
@@ -319,6 +364,7 @@ class ComponentNet(nn.Module):
     inv_cov: bool = False
     n_pyramids: int = 1
     mixture_weights: bool = False
+    dtype: object = None  # compute dtype for both component nets
 
     def setup(self):
         kwargs = dict(
@@ -328,6 +374,7 @@ class ComponentNet(nn.Module):
             inv_cov=self.inv_cov,
             n_pyramids=1,
             mixture_weights=False,
+            dtype=self.dtype,
         )
         self.pwcnet1 = PWCProbFlow(name="pwcnet1", **kwargs)
         self.pwcnet2 = PWCProbFlow(name="pwcnet2", **kwargs)

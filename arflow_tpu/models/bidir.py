@@ -28,6 +28,47 @@ def bidir_batch_enabled(default: bool = False) -> bool:
     return default
 
 
+def pyramid_batch_enabled(default: bool = True) -> bool:
+    """Run the feature pyramid once on [img1; img2] (batch 2B) instead of
+    twice at B. Exact numerics; the thin 32-channel pyramid convs are
+    MXU-tiling-bound, so the bigger batch fills more of the array.
+
+    Chained A/B (benchmarks/bench_decoder_gates_ab.py, TPU v5e): WINS for
+    the forward-only inference program (bf16 b8 384x640: 18.95 -> 18.19
+    ms/batch, +4%) but LOSES inside the full train step (f32 b8 256x448:
+    70.6 -> 78.7 ms/step — the 2B pyramid backward serializes against the
+    loss tail). PWCFlow therefore defaults it to ``not with_bk``
+    (inference on, training off); PWCProbFlow keeps its own
+    always-batched pyramid (smaller per-direction batches leave MXU
+    headroom there). ``ARFLOW_PYR_BATCH=0/1`` force-overrides at trace
+    time."""
+    env = os.environ.get("ARFLOW_PYR_BATCH")
+    if env is not None:
+        return env == "1"
+    return default
+
+
+def split_decoder_enabled(default: bool = False) -> bool:
+    """Compute each dense-net decoder conv as a sum of per-chunk convs
+    (kernel slices) instead of materializing the growing channel concat.
+    Identical params and (up to f32 partial-sum order) identical numerics.
+
+    Chained A/B (benchmarks/bench_decoder_gates_ab.py, TPU v5e): the
+    per-chunk partial-sum convs LOSE everywhere — bf16 inference 18.95 ->
+    20.40 ms/batch, f32 uflow train 70.6 -> 94.7 ms/step, sparse-ELBO
+    75.8 -> 107.4 (XLA already fuses the incremental concat into the conv
+    input, while the split form runs 4-8 narrower GEMMs) — so the default
+    stays OFF and the incremental-concat path is canonical. The first A/B
+    also showed the dense-net loop must build the concat INCREMENTALLY
+    (2-way per layer): re-concatenating the chunk list N-way each layer
+    cost +35% on the train step. Kept as a measured experiment gate:
+    ``ARFLOW_SPLIT_DECODER=0/1`` force-overrides at trace time."""
+    env = os.environ.get("ARFLOW_SPLIT_DECODER")
+    if env is not None:
+        return env == "1"
+    return default
+
+
 def component_batch_enabled(default: bool = True) -> bool:
     """Batch the K mixture components of PWCProbFlow (n_pyramids > 1)
     along the batch axis through ONE shared-weight decoder pass instead of

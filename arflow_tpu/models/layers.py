@@ -50,6 +50,64 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope)
 
 
+class SplitConv(nn.Module):
+    """3x3 stride-1 conv over an implicit channel-concat of input chunks.
+
+    ``conv(concat(xs)) == sum_i conv(x_i, kernel[:, :, off_i:off_i+c_i])``,
+    so the dense-net decoder's growing concats (profiled at ~1.6 ms/step of
+    pure HBM copies at the b8 384x640 bench shape) never have to be
+    materialized: each chunk is convolved against its kernel slice and the
+    partials are summed in f32. Measured SLOWER than the fused
+    concat+conv on TPU v5e (see models/bidir.py split_decoder_enabled) —
+    default OFF; the gate records the experiment.
+
+    Parameters are IDENTICAL to ``nn.Conv`` over the concatenated input
+    ('kernel' (3,3,sum c_i,features) + 'bias', same initializer), so
+    checkpoints and torch imports (models/uflow_model.py:288-323 decoder
+    weights) are layout-stable and the ``ARFLOW_SPLIT_DECODER`` gate can
+    flip the apply path at trace time with no param migration.
+    """
+
+    features: int
+    kernel_init: Callable = xavier_uniform
+    dtype: object = None  # compute dtype; params stay float32
+
+    @nn.compact
+    def __call__(self, xs: list) -> jnp.ndarray:
+        from arflow_tpu.models.bidir import split_decoder_enabled
+
+        cin = sum(x.shape[-1] for x in xs)
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, cin, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        dt = self.dtype if self.dtype is not None else xs[0].dtype
+
+        if len(xs) == 1 or not split_decoder_enabled(default=False):
+            x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+            y = lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(y.dtype)
+
+        acc = None
+        off = 0
+        for x in xs:
+            c = x.shape[-1]
+            y = lax.conv_general_dilated(
+                x.astype(dt), kernel[:, :, off : off + c, :].astype(dt),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+            off += c
+        return (acc + bias).astype(dt)
+
+
 class ConvTranspose2dTorch(nn.Module):
     """Transpose conv with exact ``torch.nn.ConvTranspose2d(k, s, p)`` geometry.
 

@@ -19,8 +19,18 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from arflow_tpu.models.bidir import bidir_batch_enabled
-from arflow_tpu.models.layers import conv2d, leaky_relu, xavier_uniform, ConvTranspose2dTorch
+from arflow_tpu.models.bidir import (
+    bidir_batch_enabled,
+    pyramid_batch_enabled,
+    split_decoder_enabled,
+)
+from arflow_tpu.models.layers import (
+    ConvTranspose2dTorch,
+    SplitConv,
+    conv2d,
+    leaky_relu,
+    xavier_uniform,
+)
 from arflow_tpu.ops import (
     compute_cost_volume,
     flow_to_warp,
@@ -98,8 +108,8 @@ class PWCFlow(nn.Module):
             convs = []
             for j, c in enumerate(self.flow_decoder_filters):
                 convs.append(
-                    conv2d(c, kernel_size=3, name=f"flow_l{level}_c{j}",
-                           dtype=self.dtype)
+                    SplitConv(c, name=f"flow_l{level}_c{j}",
+                              dtype=self.dtype)
                 )
             convs.append(
                 conv2d(2, kernel_size=3, name=f"flow_l{level}_out",
@@ -184,17 +194,25 @@ class PWCFlow(nn.Module):
             cost_volume = leaky_relu(cost_volume, _LEAKY_ALPHA)
 
             if flow_up is None:
-                x_in = jnp.concatenate([cost_volume, features1], axis=-1)
+                chunks = [cost_volume, features1]
             else:
-                x_in = jnp.concatenate(
-                    [context_up, flow_up, cost_volume, features1], axis=-1
-                )
+                chunks = [context_up, flow_up, cost_volume, features1]
 
-            # Dense-net connections (uflow_model.py:196-208).
+            # Dense-net connections (uflow_model.py:196-208). With the
+            # (default-off) split gate, SplitConv consumes the chunk list
+            # directly; otherwise the canonical incremental 2-way concat —
+            # NOT an N-way re-concat of the chunks, which XLA fuses worse
+            # (measured +35% on the train step, bench_decoder_gates_ab).
             x_out = None
-            for conv in self._flow_layers[level][:-1]:
-                x_out = leaky_relu(conv(x_in), _LEAKY_ALPHA)
-                x_in = jnp.concatenate([x_in, x_out], axis=-1)
+            if split_decoder_enabled(default=False):
+                for conv in self._flow_layers[level][:-1]:
+                    x_out = leaky_relu(conv(chunks), _LEAKY_ALPHA)
+                    chunks = chunks + [x_out]
+            else:
+                x_in = jnp.concatenate(chunks, axis=-1)
+                for conv in self._flow_layers[level][:-1]:
+                    x_out = leaky_relu(conv([x_in]), _LEAKY_ALPHA)
+                    x_in = jnp.concatenate([x_in, x_out], axis=-1)
             context = x_out
             flow = self._flow_layers[level][-1](context)
 
@@ -225,8 +243,24 @@ class PWCFlow(nn.Module):
         return flows
 
     def __call__(self, img1, img2, with_bk: bool = True, train: bool = False):
-        fp1 = self.feature_pyramid(img1)
-        fp2 = self.feature_pyramid(img2)
+        if pyramid_batch_enabled(default=not with_bk):
+            # One 2B pyramid call instead of two B calls: the thin
+            # (32-channel) pyramid convs are MXU-tiling-bound, so doubling
+            # the batch fills more of the systolic array per pass. Exact
+            # numerics (convs never mix batch entries). Default ON only
+            # for the forward-only (inference) program: chained A/B
+            # measured +4% there but an 11% train-step REGRESSION with
+            # the 2B pyramid in the backward (see
+            # models/bidir.py pyramid_batch_enabled).
+            nb = img1.shape[0]
+            fboth = self.feature_pyramid(
+                jnp.concatenate([img1, img2], axis=0)
+            )
+            fp1 = [f[:nb] for f in fboth]
+            fp2 = [f[nb:] for f in fboth]
+        else:
+            fp1 = self.feature_pyramid(img1)
+            fp2 = self.feature_pyramid(img2)
         if with_bk and bidir_batch_enabled(default=False):
             # Batched bidirectional pass: fw and bw ride ONE coarse-to-fine
             # pass at 2B on swapped pyramids. Per-sample numerics are

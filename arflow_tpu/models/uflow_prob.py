@@ -29,9 +29,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from arflow_tpu.models.bidir import bidir_batch_enabled, component_batch_enabled
+from arflow_tpu.models.bidir import (
+    bidir_batch_enabled,
+    component_batch_enabled,
+    split_decoder_enabled,
+)
 from arflow_tpu.models.layers import (
     ConvTranspose2dTorch,
+    SplitConv,
     conv2d,
     kaiming_normal,
     leaky_relu,
@@ -89,7 +94,8 @@ class PWCProbFlow(nn.Module):
         flow_layers = {}
         for level in range(1, self.num_levels):
             convs = [
-                _conv(c, name=f"flow_l{level}_c{j}", dtype=self.dtype)
+                SplitConv(c, kernel_init=kaiming_normal,
+                          name=f"flow_l{level}_c{j}", dtype=self.dtype)
                 for j, c in enumerate(self.flow_decoder_filters)
             ]
             out_ch = (
@@ -197,13 +203,21 @@ class PWCProbFlow(nn.Module):
                 cost_list.append(leaky_relu(cv, _ALPHA))
             cost_volume = jnp.concatenate(cost_list, axis=-1)
 
-            x_in = jnp.concatenate(
-                [context_up, out_up, cost_volume, features1], axis=-1
-            )
+            # Dense-net connections. With the (default-off) split gate,
+            # SplitConv consumes the chunk list; otherwise the canonical
+            # incremental 2-way concat (an N-way re-concat each layer
+            # fuses worse — see models/uflow.py).
+            chunks = [context_up, out_up, cost_volume, features1]
             x_out = None
-            for conv in self._flow_layers[level][:-1]:
-                x_out = leaky_relu(conv(x_in), _ALPHA)
-                x_in = jnp.concatenate([x_in, x_out], axis=-1)
+            if split_decoder_enabled(default=False):
+                for conv in self._flow_layers[level][:-1]:
+                    x_out = leaky_relu(conv(chunks), _ALPHA)
+                    chunks = chunks + [x_out]
+            else:
+                x_in = jnp.concatenate(chunks, axis=-1)
+                for conv in self._flow_layers[level][:-1]:
+                    x_out = leaky_relu(conv([x_in]), _ALPHA)
+                    x_in = jnp.concatenate([x_in, x_out], axis=-1)
             context = x_out
             out = self._flow_layers[level][-1](context)
             context, out = self._maybe_dropout([context, out], train, num_groups)

@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -22,10 +24,29 @@ from arflow_tpu.ops import (
     image_grads,
     mask_invalid,
     resample,
+    resample_with_grads,
     ssim_loss,
     upsample,
 )
 from arflow_tpu.ops.census import extract_patches, rgb_to_grayscale
+
+
+def taylor_warp_enabled(default: bool = False) -> bool:
+    """Opt-in Taylor-warp for MC flow samples (documented divergence,
+    DIVERGENCES.md): reconstruct each sample as
+
+        resample(im, warp(mean)) + grad(im)|_{warp(mean)} . (flow_s - mean)
+
+    — ONE packed 4-tap gather at the posterior mean instead of n_samples
+    gathers, with the interpolant's exact within-cell spatial partials from
+    the same taps (ops/warp.py resample_with_grads). First-order accurate
+    in the sample perturbation (exact while mean and sample share a 2x2
+    cell; posterior std is sub-pixel in trained models).
+    ``ARFLOW_TAYLOR_WARP=0/1`` force-overrides at trace time."""
+    env = os.environ.get("ARFLOW_TAYLOR_WARP")
+    if env is not None:
+        return env == "1"
+    return default
 
 
 def data_loss_no_penalty(
@@ -101,6 +122,7 @@ def data_loss_no_penalty_bidir(
     mean12_2=None,
     mean21_2=None,
     n_rep: int = 1,
+    taylor_default: bool = False,
 ):
     """Both directions of ``data_loss_no_penalty`` through ONE batched
     pipeline (TPU-first fast path, same trick as losses/uflow.py).
@@ -134,14 +156,38 @@ def data_loss_no_penalty_bidir(
     bs = b // n_rep  # un-tiled batch
     im2_sg = lax.stop_gradient(im2_0)
     im1_sg = lax.stop_gradient(im1_0)
-    recons = jnp.concatenate(
-        [resample(im2_sg, warp_0[i * bs : (i + 1) * bs]) for i in range(n_rep)]
-        + [
-            resample(im1_sg, warp_0[b + i * bs : b + (i + 1) * bs])
-            for i in range(n_rep)
-        ],
-        axis=0,
-    )
+    if (n_rep > 1 and mean12_2 is not None and mean12_2.shape[-1] == 2
+            and taylor_warp_enabled(default=taylor_default)):
+        # (the channel gate keeps mixture posteriors — 2K-channel means,
+        # multi-modal, no single valid linearization point — on the exact
+        # per-sample path even when the Taylor gate is on)
+        # Opt-in Taylor warp (see taylor_warp_enabled): gather ONCE at the
+        # posterior mean per direction, linearize each MC sample around it.
+        # n_samples full-res gathers -> 1, the dominant ELBO loss cost.
+        mean_2 = jnp.concatenate([mean12_2, mean21_2], axis=0)  # (2bs)
+        mean_0 = upsample(mean_2, is_flow=True, scale_factor=4.0)
+        warp_m = flow_to_warp(mean_0)
+        base2, gx2, gy2 = resample_with_grads(im2_sg, warp_m[:bs])
+        base1, gx1, gy1 = resample_with_grads(im1_sg, warp_m[bs:])
+        base = jnp.concatenate([base2, base1], axis=0)
+        gx = jnp.concatenate([gx2, gx1], axis=0)
+        gy = jnp.concatenate([gy2, gy1], axis=0)
+        delta = flow_0 - _tile_groups(mean_0, n_rep)  # (2b, H, W, 2)
+        recons = (
+            _tile_groups(base, n_rep)
+            + _tile_groups(gx, n_rep) * delta[..., 0:1]
+            + _tile_groups(gy, n_rep) * delta[..., 1:2]
+        )
+    else:
+        recons = jnp.concatenate(
+            [resample(im2_sg, warp_0[i * bs : (i + 1) * bs])
+             for i in range(n_rep)]
+            + [
+                resample(im1_sg, warp_0[b + i * bs : b + (i + 1) * bs])
+                for i in range(n_rep)
+            ],
+            axis=0,
+        )
     targets = jnp.concatenate([im1_0, im2_0], axis=0)  # (2*bs)
 
     if occ_type == "mean":

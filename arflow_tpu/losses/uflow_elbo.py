@@ -292,6 +292,7 @@ class UFlowElboLoss:
             pl, pw, occu_mask_b, valid_mask_b = data_loss_no_penalty_bidir(
                 im1_orig, im2_orig, flow12_2, flow21_2, cfg.occ_type,
                 cfg.data_loss, mean12_2, mean21_2, n_rep=n,
+                taylor_default=cfg.get("taylor_warp", False),
             )
             for pixel_loss, pixel_weight, weight, penalty in zip(
                 pl, pw, cfg.data_weight, data_penalties

@@ -8,6 +8,7 @@ from arflow_tpu.ops.warp import (  # noqa: F401
     flow_to_warp,
     mask_invalid,
     resample,
+    resample_with_grads,
     flow_warp,
     border_mask,
     bilinear_gather,

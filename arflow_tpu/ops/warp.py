@@ -40,23 +40,19 @@ def mask_invalid(coords: jnp.ndarray) -> jnp.ndarray:
     return valid[..., None].astype(coords.dtype)
 
 
-def bilinear_gather(
+def _gather_taps(
     source: jnp.ndarray,
     x: jnp.ndarray,
     y: jnp.ndarray,
     padding: str = "zeros",
-) -> jnp.ndarray:
-    """Bilinear sample of ``source`` (B,H,W,C) at pixel coords x, y (B,Hq,Wq).
+):
+    """Packed 2x2-neighborhood gather shared by the bilinear samplers.
 
-    padding='zeros': out-of-range taps contribute zero (grid_sample zeros).
-    padding='border': coordinates are clamped to the image (grid_sample border).
-
-    TPU-first formulation: the four neighborhood taps are pre-packed into the
-    channel dimension of one (H+1, W+1, 4C) tensor, so the warp is a SINGLE
-    XLA gather with a 4C-lane payload instead of four 1-tap gathers (4x fewer
-    gather descriptors, 4x better lane utilization; for C=32 features the
-    payload is exactly 128 lanes). ~3x faster than the 4-gather version on
-    TPU for full-resolution image warps.
+    Returns ``(taps, x, y, x0, y0, oob_mask, c)``: taps (..., 4C) ordered
+    [(y0,x0), (y0,x1), (y1,x0), (y1,x1)], the coords AFTER 'border'
+    clamping (weights must be computed from these, not the caller's), the
+    floor coords, the zeros-padding validity mask (None for 'border'),
+    and the channel count.
     """
     b, h, w, c = source.shape
     if padding == "border":
@@ -116,7 +112,28 @@ def bilinear_gather(
         chunks.append(jax.lax.optimization_barrier(t))
     taps = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     taps = taps.reshape(x.shape + (4 * c,))
+    return taps, x, y, x0, y0, oob_mask, c
 
+
+def bilinear_gather(
+    source: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sample of ``source`` (B,H,W,C) at pixel coords x, y (B,Hq,Wq).
+
+    padding='zeros': out-of-range taps contribute zero (grid_sample zeros).
+    padding='border': coordinates are clamped to the image (grid_sample border).
+
+    TPU-first formulation: the four neighborhood taps are pre-packed into the
+    channel dimension of one (H+1, W+1, 4C) tensor, so the warp is a SINGLE
+    XLA gather with a 4C-lane payload instead of four 1-tap gathers (4x fewer
+    gather descriptors, 4x better lane utilization; for C=32 features the
+    payload is exactly 128 lanes). ~3x faster than the 4-gather version on
+    TPU for full-resolution image warps.
+    """
+    taps, x, y, x0, y0, oob_mask, c = _gather_taps(source, x, y, padding)
     wx1 = (x - x0)[..., None]
     wy1 = (y - y0)[..., None]
     wx0 = 1.0 - wx1
@@ -128,6 +145,56 @@ def bilinear_gather(
     if oob_mask is not None:
         out = out * oob_mask
     return out
+
+
+def bilinear_gather_with_grads(
+    source: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    padding: str = "zeros",
+):
+    """Bilinear sample + analytic spatial partials from the SAME 4 taps.
+
+    Returns ``(value, d/dx, d/dy)`` of the bilinear interpolant at (x, y).
+    Within a 2x2 cell the interpolant is bilinear in (x, y), so
+
+        d/dx = wy0*(t01 - t00) + wy1*(t11 - t10)
+        d/dy = wx0*(t10 - t00) + wx1*(t11 - t01)
+
+    are its EXACT derivatives — no finite-difference approximation — and
+    cost zero extra gathers (the taps are shared with the value). Used by
+    the opt-in Taylor-warp ELBO fast path (losses/blocks.py): one gather at
+    the posterior mean replaces n_samples gathers, with each sampled
+    reconstruction linearized as value + grad . delta.
+    """
+    taps, x, y, x0, y0, oob_mask, c = _gather_taps(source, x, y, padding)
+    t00 = taps[..., 0 * c : 1 * c]
+    t01 = taps[..., 1 * c : 2 * c]
+    t10 = taps[..., 2 * c : 3 * c]
+    t11 = taps[..., 3 * c : 4 * c]
+    wx1 = (x - x0)[..., None]
+    wy1 = (y - y0)[..., None]
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    val = wy0 * (wx0 * t00 + wx1 * t01) + wy1 * (wx0 * t10 + wx1 * t11)
+    gx = wy0 * (t01 - t00) + wy1 * (t11 - t10)
+    gy = wx0 * (t10 - t00) + wx1 * (t11 - t01)
+    if oob_mask is not None:
+        val = val * oob_mask
+        gx = gx * oob_mask
+        gy = gy * oob_mask
+    return val, gx, gy
+
+
+def resample_with_grads(source: jnp.ndarray, coords: jnp.ndarray):
+    """``resample`` + exact spatial partials of the bilinear interpolant.
+
+    Same uflow grid_sample(align_corners=True, zeros) semantics as
+    ``resample``; see ``bilinear_gather_with_grads``.
+    """
+    return bilinear_gather_with_grads(
+        source, coords[..., 0], coords[..., 1], padding="zeros"
+    )
 
 
 def resample(source: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

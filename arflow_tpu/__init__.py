@@ -17,4 +17,11 @@ as an idiomatic JAX framework:
 
 __version__ = "0.1.0"
 
+from arflow_tpu.utils.hostmem import configure_host_allocator
+
+# Keep large host buffers (decoded/augmented frames) on the reusable heap
+# free-list instead of per-allocation mmaps — see utils/hostmem.py for the
+# measurements. ARFLOW_HOST_ALLOC=0 opts out.
+configure_host_allocator()
+
 from arflow_tpu.config import Config, load_config  # noqa: F401

@@ -11,6 +11,14 @@ Yardstick: the round-1 UFlow train step consumes 97.1 samples/s
 accelerator never starves even with transfer overhead.
 
 Usage: python benchmarks/bench_input_pipeline.py [--n 256] [--workers 4]
+
+``--real-png`` switches to the real-image variant the round-2 verdict asked
+for: a KITTI-multiview-style tree (image_2/{seq}_{frame}.png) built from the
+reference's real 1242x375 KITTI frames (/root/reference/examples/img0-2.png,
+symlinked so libpng decodes the genuine ~880 KB compressed bytes every
+read), run through the kitti_uflow.json train pipeline (scale aug to
+640x640 + hue/channel-swap photometric aug). This prices PNG inflate at the
+true compression ratio instead of the synthetic flat-PPM cost.
 """
 
 from __future__ import annotations
@@ -43,6 +51,23 @@ def make_chairs_dir(root: Path, n: int, h: int = 384, w: int = 512) -> None:
         (root / f"{i:05d}_flow.flo").write_bytes(flo_bytes)
 
 
+def make_kitti_mv_dir(root: Path, n_seq: int) -> None:
+    """image_2/{seq:06d}_{frame:02d}.png from the reference example frames.
+
+    Symlinks: the page cache holds the compressed bytes either way; decode
+    (libpng inflate + de-filter of real photographic content) is the cost
+    being measured, and that runs per read regardless of linking.
+    """
+    examples = Path("/root/reference/examples")
+    img_dir = root / "image_2"
+    img_dir.mkdir()
+    for s in range(n_seq):
+        for k in range(3):
+            (img_dir / f"{s:06d}_{k:02d}.png").symlink_to(
+                examples / f"img{(s + k) % 3}.png"
+            )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256, help="dataset size (pairs)")
@@ -53,7 +78,13 @@ def main() -> None:
         "--device-aug", action="store_true",
         help="photometric aug on-device (host only decodes + stacks)",
     )
+    ap.add_argument(
+        "--real-png", action="store_true",
+        help="real KITTI frames through the kitti_uflow KITTIMV pipeline",
+    )
     args = ap.parse_args()
+    if args.real_png:
+        return real_png_main(args)
 
     from arflow_tpu.config import Config
     from arflow_tpu.data.get_dataset import get_dataset
@@ -118,6 +149,76 @@ def main() -> None:
                     "batches": nb,
                     "epoch_s": round(dt, 2),
                     "vs_train_step_consumption": round(
+                        samples_s / step_consumption, 2
+                    ),
+                }
+            )
+        )
+
+
+def real_png_main(args) -> None:
+    from arflow_tpu.config import Config
+    from arflow_tpu.data.get_dataset import get_dataset
+    from arflow_tpu.data.loader import DataLoader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        # 2 two-frame samples per 3-frame sequence.
+        make_kitti_mv_dir(root, max(1, args.n // 2))
+
+        cfg = Config(
+            {
+                "data": [
+                    {
+                        # kitti_uflow.json train entry, at this tree
+                        "root": str(root),
+                        "type": "train",
+                        "name": "KITTIMV",
+                        "n_frames": 2,
+                        "geometric_aug": {
+                            "scale": True,
+                            "scale_size": [640, 640],
+                        },
+                        "photometric_aug": {
+                            "hue": 0.5,
+                            "swap_channels": True,
+                            "device": args.device_aug,
+                        },
+                    }
+                ]
+            }
+        )
+        train_set, _ = get_dataset(cfg, seed=0)
+        loader = DataLoader(
+            train_set,
+            batch_size=args.batch,
+            shuffle=True,
+            num_workers=args.workers,
+            drop_last=True,
+            prefetch=args.prefetch,
+        )
+        for _ in loader:  # warm epoch: page cache + thread spin-up
+            pass
+        best_dt, nb = None, 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            nb = 0
+            for batch in loader:
+                nb += 1
+            dt = time.perf_counter() - t0
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        samples_s = nb * args.batch / best_dt
+        # bf16 uflow train step consumes ~135 samples/s (BASELINE.md r2)
+        step_consumption = 135.0
+        print(
+            json.dumps(
+                {
+                    "metric": "input_pipeline_real_png_samples_per_s",
+                    "value": round(samples_s, 1),
+                    "unit": "samples/s",
+                    "batches": nb,
+                    "epoch_s": round(best_dt, 2),
+                    "vs_bf16_step_consumption": round(
                         samples_s / step_consumption, 2
                     ),
                 }

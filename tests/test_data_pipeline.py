@@ -152,3 +152,14 @@ def test_loader_early_abandon_stops_workers():
     while _threading.active_count() > before and time.time() < deadline:
         time.sleep(0.02)
     assert _threading.active_count() <= before
+
+
+def test_host_allocator_configure_idempotent():
+    # utils/hostmem.py: auto-run at package import; calling again is a no-op
+    from arflow_tpu.utils import hostmem
+
+    first = hostmem.configure_host_allocator()
+    assert first in (True, False)
+    assert hostmem.configure_host_allocator() == first
+    # the lazy-memory probe must run standalone without raising
+    assert hostmem.lazy_backed_memory() in (True, False)

@@ -112,6 +112,48 @@ def _tile_groups(x, n, groups=2):
     ).reshape((groups * n * b,) + x.shape[1:])
 
 
+def _taylor_recons_mixture(src_sg, mean_2, flow_0, z, n_rep):
+    """Taylor-linearized MC reconstructions for a mixture posterior.
+
+    src_sg: (B,H,W,C) stop-gradient warp source; mean_2: (B,h2,w2,2K)
+    component means at 1/4 res; flow_0: (n*B,H,W,2) full-res sampled flows
+    (sample-major); z: (B,n) drawn component index per sample.
+
+    One ``resample_with_grads`` per component (K gathers from the B-sized
+    source), then each (sample, batch) entry linearizes around the
+    component it was drawn from:
+
+        recons = base[z] + gx[z]*(u - u_mean[z]) + gy[z]*(v - v_mean[z])
+
+    Identical approximation quality to the unimodal Taylor path — the
+    perturbation around the DRAWN component's mean is the within-component
+    std, sub-pixel in trained models.
+    """
+    bs = z.shape[0]
+    n = n_rep
+    k = mean_2.shape[-1] // 2
+    mean_0 = upsample(mean_2, is_flow=True, scale_factor=4.0)  # (B,H,W,2K)
+    taps = []  # per component: (base, gx, gy), each (B,H,W,C)
+    for ki in range(k):
+        warp_k = flow_to_warp(mean_0[..., 2 * ki : 2 * ki + 2])
+        taps.append(resample_with_grads(src_sg, warp_k))
+    base_k = jnp.stack([t[0] for t in taps], axis=0)  # (K,B,H,W,C)
+    gx_k = jnp.stack([t[1] for t in taps], axis=0)
+    gy_k = jnp.stack([t[2] for t in taps], axis=0)
+    mean_k = jnp.moveaxis(
+        mean_0.reshape(mean_0.shape[:3] + (k, 2)), -2, 0
+    )  # (K,B,H,W,2)
+
+    # Sample-major flat index: row s*bs + b selects component z[b, s].
+    zi = z.T.reshape(n * bs)  # (n*B,)
+    bi = jnp.tile(jnp.arange(bs), n)
+    base = base_k[zi, bi]  # (n*B,H,W,C) — whole-image row gather
+    gx = gx_k[zi, bi]
+    gy = gy_k[zi, bi]
+    delta = flow_0 - mean_k[zi, bi]
+    return base + gx * delta[..., 0:1] + gy * delta[..., 1:2]
+
+
 def data_loss_no_penalty_bidir(
     im1_0,
     im2_0,
@@ -123,6 +165,8 @@ def data_loss_no_penalty_bidir(
     mean21_2=None,
     n_rep: int = 1,
     taylor_default: bool = False,
+    z12=None,
+    z21=None,
 ):
     """Both directions of ``data_loss_no_penalty`` through ONE batched
     pipeline (TPU-first fast path, same trick as losses/uflow.py).
@@ -148,6 +192,14 @@ def data_loss_no_penalty_bidir(
     Returns (pixel_loss_list, pixel_weight_list, occu_mask_2, valid_mask_0),
     each batched [fw; bw] along axis 0 (occu_mask_2 is None for occ 'none'),
     tiled to the flows' batch when n_rep > 1.
+
+    For mixture posteriors (2K-channel means) the Taylor path needs the
+    sampled component indices ``z12``/``z21`` ((B, n_rep) each, the ELBO's
+    categorical draws): each direction then linearizes around its K
+    component means — K gathers instead of n_samples — and every MC sample
+    reads the taps of the component it was drawn from (exactness unchanged:
+    the sample perturbs around THAT component's mean). Without z the
+    mixture stays on the exact per-sample path even when the gate is on.
     """
     b = flow12_2.shape[0]  # = n_rep * B
     flow_2 = jnp.concatenate([flow12_2, flow21_2], axis=0)
@@ -156,11 +208,14 @@ def data_loss_no_penalty_bidir(
     bs = b // n_rep  # un-tiled batch
     im2_sg = lax.stop_gradient(im2_0)
     im1_sg = lax.stop_gradient(im1_0)
-    if (n_rep > 1 and mean12_2 is not None and mean12_2.shape[-1] == 2
-            and taylor_warp_enabled(default=taylor_default)):
-        # (the channel gate keeps mixture posteriors — 2K-channel means,
-        # multi-modal, no single valid linearization point — on the exact
-        # per-sample path even when the Taylor gate is on)
+    taylor_on = (
+        n_rep > 1
+        and mean12_2 is not None
+        and taylor_warp_enabled(default=taylor_default)
+        and (mean12_2.shape[-1] == 2
+             or (z12 is not None and z21 is not None))
+    )
+    if taylor_on and mean12_2.shape[-1] == 2:
         # Opt-in Taylor warp (see taylor_warp_enabled): gather ONCE at the
         # posterior mean per direction, linearize each MC sample around it.
         # n_samples full-res gathers -> 1, the dominant ELBO loss cost.
@@ -177,6 +232,21 @@ def data_loss_no_penalty_bidir(
             _tile_groups(base, n_rep)
             + _tile_groups(gx, n_rep) * delta[..., 0:1]
             + _tile_groups(gy, n_rep) * delta[..., 1:2]
+        )
+    elif taylor_on:
+        # Mixture Taylor warp: one linearization point per COMPONENT (2K
+        # channel means) — 2K gathers total instead of 2*n_samples; each
+        # sample group selects its drawn component's taps per batch entry.
+        recons = jnp.concatenate(
+            [
+                _taylor_recons_mixture(
+                    im2_sg, mean12_2, flow_0[:b], z12, n_rep
+                ),
+                _taylor_recons_mixture(
+                    im1_sg, mean21_2, flow_0[b:], z21, n_rep
+                ),
+            ],
+            axis=0,
         )
     else:
         recons = jnp.concatenate(

@@ -123,6 +123,7 @@ class UFlowElboLoss:
 
         loss_offdiag = 0.0
         weights12 = weights21 = None
+        z12 = z21 = None
 
         # -- slice level-2 outputs by approximation (lines 197-246) --------
         if cfg.approx == "diag":
@@ -293,6 +294,7 @@ class UFlowElboLoss:
                 im1_orig, im2_orig, flow12_2, flow21_2, cfg.occ_type,
                 cfg.data_loss, mean12_2, mean21_2, n_rep=n,
                 taylor_default=cfg.get("taylor_warp", False),
+                z12=z12, z21=z21,
             )
             for pixel_loss, pixel_weight, weight, penalty in zip(
                 pl, pw, cfg.data_weight, data_penalties

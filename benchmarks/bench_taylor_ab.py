@@ -74,6 +74,13 @@ def main():
         ("diag_occ_mean", {"approx": "diag", "inv_cov": False,
                            "occ_type": "mean"},
          {"out_channels": [2, 2, 0], "inv_cov": False}),
+        # Mixture k2 (bf16, the BASELINE.md mixture config): Taylor uses
+        # one gather per COMPONENT (2K total) instead of per sample (2n).
+        ("mixture_k2_bf16", {"approx": "mixture", "inv_cov": False,
+                             "occ_type": "sample", "n_components": 2,
+                             "cov_supp": 0},
+         {"out_channels": [2, 2, 0], "inv_cov": False, "n_pyramids": 2,
+          "dtype": "bf16"}),
     ]
 
     for tag, loss_over, model_over in variants:

@@ -137,3 +137,94 @@ def test_taylor_converges_to_exact(monkeypatch, rng):
     assert errs[1] < errs[0] * 0.2
     assert errs[2] < errs[1] * 0.2
     assert errs[1] < 0.01 * ref_scale
+
+
+def _mixture_flows(rng, mean_k, z, eps_scale, n):
+    """Sample-major flows drawn around each entry's selected component."""
+    b, h2, w2, _ = mean_k.shape
+    k = mean_k.shape[-1] // 2
+    sel = np.zeros((n * b, h2, w2, 2), np.float32)
+    for s in range(n):
+        for bi in range(b):
+            c = int(z[bi, s])
+            sel[s * b + bi] = np.asarray(mean_k[bi, ..., 2 * c : 2 * c + 2])
+    noise = rng.randn(n * b, h2, w2, 2).astype(np.float32)
+    return jnp.asarray(sel + eps_scale * noise)
+
+
+def test_taylor_mixture_converges_to_exact(monkeypatch, rng):
+    """The K-gather mixture Taylor path is first-order in the per-sample
+    perturbation around the DRAWN component's mean, even when the
+    components are far apart (multi-modal posterior)."""
+    im1 = _smooth_images(rng, B, H, W)
+    im2 = _smooth_images(rng, B, H, W)
+    h2, w2 = H // 4, W // 4
+    n, k = 4, 2
+    # Two well-separated components (3 px apart at 1/4 res = 12 px at
+    # full res) — a single-point linearization would be useless here.
+    mean12 = jnp.asarray(
+        np.concatenate(
+            [rng.randn(B, h2, w2, 2) * 0.5, rng.randn(B, h2, w2, 2) * 0.5 + 3.0],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    mean21 = jnp.asarray(
+        np.concatenate(
+            [rng.randn(B, h2, w2, 2) * 0.5, rng.randn(B, h2, w2, 2) * 0.5 - 3.0],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    z12 = jnp.asarray(rng.randint(0, k, (B, n)).astype(np.int32))
+    z21 = jnp.asarray(rng.randint(0, k, (B, n)).astype(np.int32))
+
+    errs = []
+    ref_scale = None
+    for eps in (0.3, 0.03):
+        flow12 = _mixture_flows(rng, mean12, np.asarray(z12), eps, n)
+        flow21 = _mixture_flows(rng, mean21, np.asarray(z21), eps, n)
+
+        monkeypatch.setenv("ARFLOW_TAYLOR_WARP", "0")
+        (pl_e,), _, _, _ = data_loss_no_penalty_bidir(
+            im1, im2, flow12, flow21, "sample", ["census"], mean12, mean21,
+            n_rep=n, z12=z12, z21=z21,
+        )
+        monkeypatch.setenv("ARFLOW_TAYLOR_WARP", "1")
+        (pl_t,), _, _, _ = data_loss_no_penalty_bidir(
+            im1, im2, flow12, flow21, "sample", ["census"], mean12, mean21,
+            n_rep=n, z12=z12, z21=z21,
+        )
+        errs.append(float(jnp.mean(jnp.abs(pl_t - pl_e))))
+        ref_scale = float(jnp.mean(jnp.abs(pl_e)))
+
+    assert errs[1] < errs[0] * 0.2
+    assert errs[1] < 0.01 * ref_scale
+
+
+def test_taylor_mixture_identical_components_match_unimodal(monkeypatch, rng):
+    """With K identical components the mixture Taylor path reduces exactly
+    to the unimodal one (same taps regardless of the drawn component)."""
+    im1 = _smooth_images(rng, B, H, W)
+    im2 = _smooth_images(rng, B, H, W)
+    h2, w2 = H // 4, W // 4
+    n = 3
+    mean12 = jnp.asarray((rng.randn(B, h2, w2, 2) * 0.5).astype(np.float32))
+    mean21 = jnp.asarray((rng.randn(B, h2, w2, 2) * 0.5).astype(np.float32))
+    flow12 = jnp.tile(mean12, (n, 1, 1, 1)) + 0.05
+    flow21 = jnp.tile(mean21, (n, 1, 1, 1)) - 0.05
+    z12 = jnp.asarray(rng.randint(0, 2, (B, n)).astype(np.int32))
+    z21 = jnp.asarray(rng.randint(0, 2, (B, n)).astype(np.int32))
+
+    monkeypatch.setenv("ARFLOW_TAYLOR_WARP", "1")
+    (pl_uni,), _, _, _ = data_loss_no_penalty_bidir(
+        im1, im2, flow12, flow21, "none", ["census"], mean12, mean21,
+        n_rep=n,
+    )
+    mean12_k = jnp.concatenate([mean12, mean12], axis=-1)
+    mean21_k = jnp.concatenate([mean21, mean21], axis=-1)
+    (pl_mix,), _, _, _ = data_loss_no_penalty_bidir(
+        im1, im2, flow12, flow21, "none", ["census"], mean12_k, mean21_k,
+        n_rep=n, z12=z12, z21=z21,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_uni), np.asarray(pl_mix), atol=1e-6
+    )

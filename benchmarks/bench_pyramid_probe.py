@@ -63,7 +63,12 @@ def main():
         @jax.jit
         def run(*a):
             def body(c, _):
-                out = fn(a[0] + c * jnp.asarray(1e-12, a[0].dtype), *a[1:])
+                # keep the perturbed input in ITS dtype (bf16 + f32 would
+                # promote and break same-dtype conv calls)
+                perturbed = a[0] + c.astype(a[0].dtype) * jnp.asarray(
+                    1e-12, a[0].dtype
+                )
+                out = fn(perturbed, *a[1:])
                 return c + jnp.sum(out).astype(jnp.float32) * 1e-20, None
 
             c, _ = lax.scan(body, jnp.float32(0.0), None, length=CHAIN)

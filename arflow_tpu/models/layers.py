@@ -50,6 +50,75 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope)
 
 
+def conv_npad_enabled(default: bool = False) -> bool:
+    """Trace-time gate for the bf16 thin-N conv workaround
+    (``ARFLOW_CONV_NPAD=0/1`` force-overrides).
+
+    Measured (benchmarks/bench_pyramid_probe.py, TPU v5e): XLA's bf16 conv
+    emitter runs a 3x3 32->32 conv 2.5x SLOWER than the same conv with 64
+    output channels (2.57 vs 1.04 ms at 16x192x320) — output channels are
+    free on the MXU up to the 128-lane width, and N=32 triggers a
+    pathological bf16 lowering. Zero-padding the kernel to 64 outputs and
+    slicing the result back is numerically exact (the padded channels are
+    discarded) and sidesteps the slow path.
+    """
+    import os
+
+    env = os.environ.get("ARFLOW_CONV_NPAD")
+    if env is not None:
+        return env == "1"
+    return default
+
+
+class Conv2dNPad(nn.Module):
+    """3x3-family conv whose OUTPUT channels are zero-padded to ``pad_to``
+    on the MXU when the gate is on (bf16 thin-N workaround; see
+    ``conv_npad_enabled``). Parameters are IDENTICAL to ``conv2d``'s
+    ``nn.Conv`` ('kernel' (k,k,cin,features) HWIO + 'bias'), so checkpoints
+    and torch imports are layout-stable and the gate flips at trace time.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    kernel_init: Callable = xavier_uniform
+    dtype: object = None  # compute dtype; params stay float32
+    pad_to: int = 64
+    gate_default: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s = self.kernel_size, self.stride
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        dt = self.dtype if self.dtype is not None else x.dtype
+        pad = (k - 1) // 2
+        use_pad = (
+            self.features < self.pad_to
+            and dt == jnp.bfloat16
+            and conv_npad_enabled(default=self.gate_default)
+        )
+        if use_pad:
+            kernel = jnp.pad(
+                kernel, ((0, 0), (0, 0), (0, 0),
+                         (0, self.pad_to - self.features))
+            )
+        y = lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), (s, s), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if use_pad:
+            y = y[..., : self.features]
+        return y + bias.astype(y.dtype)
+
+
 class SplitConv(nn.Module):
     """3x3 stride-1 conv over an implicit channel-concat of input chunks.
 

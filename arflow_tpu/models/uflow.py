@@ -25,6 +25,7 @@ from arflow_tpu.models.bidir import (
     split_decoder_enabled,
 )
 from arflow_tpu.models.layers import (
+    Conv2dNPad,
     ConvTranspose2dTorch,
     SplitConv,
     conv2d,
@@ -62,13 +63,19 @@ class PWCFeaturePyramid(nn.Module):
         for level, (num_layers, num_filters) in enumerate(self.filters):
             for i in range(num_layers):
                 stride = 2 if i == 0 else 1
-                x = conv2d(
+                # Conv2dNPad == conv2d (identical params/geometry), plus the
+                # bf16 thin-N pad-to-64 experiment behind ARFLOW_CONV_NPAD.
+                # Measured a WASH (bench_pyramid_probe: pyramid 4.72 ms
+                # either way; the thin conv is M*K pass-bound, N<=128 free)
+                # — default OFF, gate kept as the recorded experiment.
+                x = Conv2dNPad(
                     num_filters,
                     kernel_size=3,
                     stride=stride,
                     name=f"conv_l{level}_{i}",
                     kernel_init=xavier_uniform,
                     dtype=self.dtype,
+                    gate_default=False,
                 )(x)
                 x = leaky_relu(x, self.leaky_relu_alpha)
             features.append(x)

@@ -83,7 +83,8 @@ def main():
             row["pct_of_bf16_peak"] = round(100 * flops / ms / 1e12 / PEAK, 1)
         print(json.dumps(row), flush=True)
 
-    # -- full pyramid, bf16 and f32 ---------------------------------------
+    # -- full pyramid, bf16 and f32 (thin-N workaround OFF: baseline) ------
+    os.environ["ARFLOW_CONV_NPAD"] = "0"
     pyr_flops = 0
     h, w, cin = H, W, 3
     for _ in range(5):
@@ -150,6 +151,43 @@ def main():
         flops = 2 * 4 * (H // 2) * (W // 2) * 12 * 32 * B2
         t = chained(s2d_conv, xx, kk)
         report(f"stem_s2d_2x2conv_{dt_name}", t, flops)
+
+    # -- bf16 N=32 pathology workarounds (round-3 second wave) -------------
+    # conv32to64 bf16 runs 2.5x FASTER than conv32to32 bf16 (N<=64 is free
+    # on the MXU; XLA's bf16 emitter mishandles N=32). Probe: (a) the same
+    # 32->32 conv with the kernel zero-padded to 64 outputs + slice, (b) the
+    # conv computed in f32 inside a bf16 graph.
+    k32 = jnp.asarray(rng.randn(3, 3, 32, 32).astype(np.float32) * 0.1)
+    xbf = f32x.astype(jnp.bfloat16)
+    flops32 = 2 * 9 * hh * ww * 32 * 32 * B2
+
+    def conv_n64pad(a, w_):
+        wp = jnp.pad(w_, ((0, 0), (0, 0), (0, 0), (0, 32)))
+        y = lax.conv_general_dilated(
+            a, wp.astype(a.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[..., :32]
+
+    t = chained(conv_n64pad, xbf, k32)
+    report("conv32to32_n64pad_bf16", t, flops32)
+
+    def conv_f32(a, w_):
+        y = lax.conv_general_dilated(
+            a.astype(jnp.float32), w_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.astype(jnp.bfloat16)
+
+    t = chained(conv_f32, xbf, k32)
+    report("conv32to32_f32_in_bf16_graph", t, flops32)
+
+    # -- full pyramid with the N64-pad workaround (ARFLOW_CONV_NPAD) -------
+    os.environ["ARFLOW_CONV_NPAD"] = "1"
+    pyr = PWCFeaturePyramid(dtype=jnp.bfloat16)
+    pvars = jax.jit(lambda r: pyr.init(r, x_in))(jax.random.PRNGKey(0))
+    t = chained(lambda a, p, m=pyr: m.apply({"params": p}, a)[-1],
+                x_in, pvars["params"])
+    report("pyramid_bf16_npad", t, pyr_flops)
+    del os.environ["ARFLOW_CONV_NPAD"]
 
     # -- one level-0 triple-conv stack (stem + 2x 32->32) as one program ---
     import flax.linen as nn

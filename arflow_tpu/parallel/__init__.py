@@ -15,3 +15,9 @@ from arflow_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     batch_sharding,
 )
+from arflow_tpu.parallel.spatial import (  # noqa: F401
+    make_spatial_mesh,
+    shard_images_spatial,
+    spatial_apply,
+    spatial_image_sharding,
+)

@@ -56,6 +56,28 @@ class BaseTrainer:
 
     # -- init ---------------------------------------------------------------
 
+    def _maybe_remat(self, fwd):
+        """Wrap the model forward in ``jax.checkpoint`` when
+        ``cfg.train.remat`` is set: the backward pass recomputes cheap
+        (elementwise/pad/normalize) values instead of keeping them alive
+        in HBM, trading FLOPs for memory on memory-bound configs.
+
+        Policy chosen by measurement (benchmarks/bench_remat_memory.py,
+        uflow train step @448x1024 b4, XLA memory analysis): the
+        ``dots_saveable`` policy — keep MXU (conv) outputs, recompute the
+        rest — cuts peak temp HBM 8.47 -> 5.85 GB (-31%) and unlocks b8
+        full-res training on a 16 GB chip. Whole-function checkpoint
+        (10.98 GB), dots_with_no_batch_dims (11.0) and per-direction
+        checkpointing (12.97) all measured WORSE than no remat; the
+        replayed forward's live set exceeds what XLA's own scheduling
+        keeps. Numerics are reassociation-noise-identical
+        (tests/test_remat.py)."""
+        if self.cfg.get("remat", False):
+            return jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.dots_saveable
+            )
+        return fwd
+
     def _model_inputs_from_batch(self, batch):
         """Return the positional model inputs used for initialization."""
         raise NotImplementedError

@@ -65,24 +65,30 @@ class UFlowElboTrainer(BaseTrainer):
         model, loss_func, tx = self.model, self.loss_func, self.tx
         has_bs = self._has_batch_stats
 
+        def fwd(params, bs, a, b, rng):
+            variables = {"params": params}
+            if has_bs:
+                variables["batch_stats"] = bs
+                res, mut = model.apply(
+                    variables, a, b, with_bk=True, train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+                return res, mut["batch_stats"]
+            res = model.apply(
+                variables, a, b, with_bk=True, train=True,
+                rngs={"dropout": rng},
+            )
+            return res, None
+
+        fwd = self._maybe_remat(fwd)
+
         def train_step(state, img1, img2, rng):
             rng_d, rng_s = jax.random.split(rng)
 
             def loss_fn(params):
-                variables = {"params": params}
-                if has_bs:
-                    variables["batch_stats"] = state["batch_stats"]
-                    res, mut = model.apply(
-                        variables, img1, img2, with_bk=True, train=True,
-                        rngs={"dropout": rng_d}, mutable=["batch_stats"],
-                    )
-                    new_bs = mut["batch_stats"]
-                else:
-                    res = model.apply(
-                        variables, img1, img2, with_bk=True, train=True,
-                        rngs={"dropout": rng_d},
-                    )
-                    new_bs = None
+                res, new_bs = fwd(
+                    params, state.get("batch_stats"), img1, img2, rng_d
+                )
                 out = loss_func(res, img1, img2, rng=rng_s)
                 return out["total"], (out, new_bs)
 

@@ -41,16 +41,17 @@ class UFlowTrainer(BaseTrainer):
         model, loss_func, tx = self.model, self.loss_func, self.tx
         device_ph = self._device_photometric()
 
+        def fwd(params, a, b, rng):
+            return model.apply(
+                {"params": params}, a, b, with_bk=True, train=True,
+                rngs={"dropout": rng},
+            )
+
+        fwd = self._maybe_remat(fwd)
+
         def step_body(state, img1, img2, img1_ph, img2_ph, rng):
             def loss_fn(params):
-                res = model.apply(
-                    {"params": params},
-                    img1_ph,
-                    img2_ph,
-                    with_bk=True,
-                    train=True,
-                    rngs={"dropout": rng},
-                )
+                res = fwd(params, img1_ph, img2_ph, rng)
                 out = loss_func(res, img1, img2)
                 return out["total"], out
 

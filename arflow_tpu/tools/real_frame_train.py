@@ -10,7 +10,18 @@ writing the final flow as `.flo` + RGB visualization.
 
 No ground-truth flow exists for these frames, so the quantitative checks
 are (a) the census data loss falling well below its zero-flow value and
-(b) masked warp PSNR improving over identity. Run on the TPU host:
+(b) masked warp PSNR improving over identity.
+
+``--elbo`` additionally exercises the probabilistic stack (uflow_prob +
+diag ELBO) on the real pair and dumps the posterior entropy map — but DO
+NOT expect a good flow from it: measured on this pair, the from-scratch
+single-pair ELBO collapses toward the census objective's out-of-frame
+degenerate optimum regardless of w_oof/w_entropy weighting (mean |flow|
+~20-38 px, PSNR below identity). That degeneracy is a property of the
+objective shared with the reference, whose ELBO configs train on 22k
+FlyingChairs pairs for 1000 epochs — single-pair overfit is not a
+supported ELBO workflow there either. The deterministic (default) mode
+is the quantitative real-frame demo. Run on the TPU host:
 
     PYTHONPATH=/root/repo:$PYTHONPATH python -m arflow_tpu.tools.real_frame_train \
         --steps 300 --out /tmp/real_frame_demo
@@ -31,6 +42,11 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--out", default="/tmp/real_frame_demo")
     parser.add_argument("--dtype", default=None, choices=[None, "bf16"])
+    parser.add_argument(
+        "--elbo", action="store_true",
+        help="train the probabilistic model (uflow_prob + diag ELBO) and "
+             "dump the posterior entropy map alongside the flow",
+    )
     args = parser.parse_args(argv)
 
     os.environ.setdefault("ARFLOW_USE_PALLAS", "1")
@@ -62,14 +78,38 @@ def main(argv=None):
     img1 = jnp.asarray(load("img1.png"))[None]
     img2 = jnp.asarray(load("img2.png"))[None]
 
-    model = get_model(Config({
-        "type": "uflow", "feature_norm": True, "level_dropout": 0.0,
-        **({"dtype": args.dtype} if args.dtype else {}),
-    }))
-    loss = get_loss(Config({
-        "type": "uflow", "w_census": 1.0, "w_smooth": 4.0,
-        "smooth_order": 1, "edge_constant": 150.0, "with_bk": True,
-    }))
+    if args.elbo:
+        model = get_model(Config({
+            "type": "uflow_prob", "out_channels": [2, 2, 0],
+            "inv_cov": False, "n_pyramids": 1, "mixture_weights": False,
+            "feature_norm": True, "level_dropout": 0.0,
+            **({"dtype": args.dtype} if args.dtype else {}),
+        }))
+        loss = get_loss(Config({
+            "type": "uflow_elbo", "edge_asymp": 0.01, "w_smooth": 4.0,
+            "edge_constant": 150.0, "with_bk": True,
+            "penalty_smooth": "charbonnier", "closed_form_smooth": True,
+            "isotropic_smooth": False, "data_loss": ["census"],
+            "data_weight": [1.0], "data_penalty": ["abs_robust_loss"],
+            # w_oof anchors the single-pair overfit against the census
+            # objective's out-of-frame degenerate optimum (the shipped
+            # multi-sample configs rely on data variety instead; the
+            # degeneracy is a property of the objective shared with the
+            # reference — see BASELINE.md round-1 learning-sanity note).
+            "w_entropy": 0.01, "w_oof": 0.5, "w_occ": 0.0, "approx": "diag",
+            "inv_cov": False, "cov_supp": 0, "n_components": 1,
+            "n_samples": 1, "approx_entropy": False, "offdiag_reg": 0.1,
+            "natural_grad": False, "occ_type": "sample",
+        }))
+    else:
+        model = get_model(Config({
+            "type": "uflow", "feature_norm": True, "level_dropout": 0.0,
+            **({"dtype": args.dtype} if args.dtype else {}),
+        }))
+        loss = get_loss(Config({
+            "type": "uflow", "w_census": 1.0, "w_smooth": 4.0,
+            "smooth_order": 1, "edge_constant": 150.0, "with_bk": True,
+        }))
     tx = optax.adam(args.lr)
     variables = jax.jit(lambda r: model.init(r, img1, img2, with_bk=True))(
         jax.random.PRNGKey(0))
@@ -78,20 +118,27 @@ def main(argv=None):
 
     import functools
 
+    def call_loss(res, a, b, key):
+        if args.elbo:
+            return loss(res, a, b, rng=key)
+        return loss(res, a, b)
+
     @functools.partial(jax.jit, static_argnums=(4,))
-    def run(p, o, a, b, n_steps):
-        def body(carry, _):
+    def run(p, o, a, b, n_steps, key0=jax.random.PRNGKey(42)):
+        def body(carry, key):
             p, o = carry
 
             def lf(pp):
                 res = model.apply({"params": pp}, a, b, with_bk=True)
-                return loss(res, a, b)["total"]
+                return call_loss(res, a, b, key)["total"]
 
             l, g = jax.value_and_grad(lf)(p)
             u, o2 = tx.update(g, o, p)
             return (optax.apply_updates(p, u), o2), l
 
-        (p2, o2), ls = lax.scan(body, (p, o), None, length=n_steps)
+        (p2, o2), ls = lax.scan(
+            body, (p, o), jax.random.split(key0, n_steps)
+        )
         return p2, o2, ls
 
     @jax.jit
@@ -101,19 +148,21 @@ def main(argv=None):
         warped = resample(b, flow_to_warp(flow))
         mse_warp = jnp.mean(jnp.square(warped - a))
         mse_id = jnp.mean(jnp.square(b - a))
-        l = loss(res, a, b)
-        return flow, l["total"], l["l_ph"], mse_warp, mse_id
+        l = call_loss(res, a, b, jax.random.PRNGKey(7))
+        entropy = res["flows_fw"][0][..., 2:4] if args.elbo else None
+        return flow, l["total"], l["l_ph"], mse_warp, mse_id, entropy
 
     # Zero-flow (init) reference point.
-    _, l_init, lph_init, mse_w0, mse_id = eval_pair(params, img1, img2)
+    _, l_init, lph_init, mse_w0, mse_id, _ = eval_pair(params, img1, img2)
 
     chunk = 50
     losses = []
-    for _ in range(max(1, args.steps // chunk)):
-        params, opt, ls = run(params, opt, img1, img2, chunk)
+    for ci in range(max(1, args.steps // chunk)):
+        params, opt, ls = run(params, opt, img1, img2, chunk,
+                              jax.random.PRNGKey(1000 + ci))
         losses.extend(np.asarray(ls).tolist())
 
-    flow, l_fin, lph_fin, mse_w1, _ = eval_pair(params, img1, img2)
+    flow, l_fin, lph_fin, mse_w1, _, entropy = eval_pair(params, img1, img2)
     flow_np = np.asarray(flow[0])
 
     os.makedirs(args.out, exist_ok=True)
@@ -123,6 +172,13 @@ def main(argv=None):
         from PIL import Image
 
         Image.fromarray(rgb).save(os.path.join(args.out, "img1_img2_flow.png"))
+        if entropy is not None:
+            ent = np.asarray(entropy[0]).mean(axis=-1)  # (H, W) log-std
+            np.save(os.path.join(args.out, "img1_img2_entropy.npy"), ent)
+            lo, hi = np.percentile(ent, [2, 98])
+            ent8 = np.clip((ent - lo) / max(hi - lo, 1e-9), 0, 1)
+            Image.fromarray((ent8 * 255).astype(np.uint8)).save(
+                os.path.join(args.out, "img1_img2_entropy.png"))
     except Exception:
         pass
 
@@ -142,6 +198,7 @@ def main(argv=None):
         "warp_psnr_init": round(psnr(mse_w0), 2),
         "warp_psnr_trained": round(psnr(mse_w1), 2),
         "mean_abs_flow_px": round(float(np.mean(np.abs(flow_np))), 2),
+        "elbo": bool(args.elbo),
         "out": args.out,
     }
     print(json.dumps(report))

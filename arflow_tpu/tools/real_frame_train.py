@@ -155,7 +155,7 @@ def main(argv=None):
     # Zero-flow (init) reference point.
     _, l_init, lph_init, mse_w0, mse_id, _ = eval_pair(params, img1, img2)
 
-    chunk = 50
+    chunk = min(50, args.steps)
     losses = []
     for ci in range(max(1, args.steps // chunk)):
         params, opt, ls = run(params, opt, img1, img2, chunk,

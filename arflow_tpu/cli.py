@@ -334,3 +334,96 @@ def fit_penalty_cli(argv=None):
     print("Beta: ", beta.tolist())
     print("Scaling factor: ", scale)
     print("Beta scaled: ", (beta * scale).tolist())
+
+
+def export_cli(argv=None):
+    """AOT-export the inference program to a single serving artifact.
+
+    No reference equivalent (serving there = re-running the torch model from
+    source, /root/reference/inference.py:121-157); see arflow_tpu/serving.
+    """
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True,
+                        help="training/inference config (model + loss)")
+    parser.add_argument("-m", "--model", default=None,
+                        help="checkpoint (overrides cfg.inference.pretrained_model)")
+    parser.add_argument("-o", "--output", required=True,
+                        help="artifact file to write (e.g. model.afx)")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--size", default="384x640",
+                        help="HxW input size (default 384x640)")
+    parser.add_argument("--platforms", default="tpu",
+                        help="comma list, e.g. 'tpu' or 'tpu,cpu' (portable)")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+    ckpt = args.model or cfg.get("inference", {}).get("pretrained_model")
+    if not ckpt:
+        parser.error("no checkpoint: pass -m or set inference.pretrained_model")
+
+    from arflow_tpu.serving import export_inference, save_artifact
+    from arflow_tpu.training.checkpoint import load_pretrained
+
+    h, w = (int(s) for s in args.size.lower().split("x"))
+    variables = load_pretrained(ckpt, cfg.model)
+    exported, meta = export_inference(
+        cfg, variables, args.batch, (h, w),
+        platforms=tuple(p.strip() for p in args.platforms.split(",")),
+    )
+    meta["checkpoint"] = str(ckpt)
+    save_artifact(args.output, exported, meta)
+    print(f"wrote {args.output}: {meta}")
+
+
+def stream_cli(argv=None):
+    """Streaming video inference: one pyramid per frame, .flo per pair.
+
+    Frames are consumed in sorted order from --frames (dir or glob); the
+    flow for pair (t-1, t) is written as <stem_t>.flo under --out.
+    """
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-m", "--model", default=None)
+    parser.add_argument("--frames", required=True,
+                        help="directory of frames or a glob pattern")
+    parser.add_argument("--out", default=None, help="output dir for .flo")
+    parser.add_argument("--size", default=None,
+                        help="HxW inference size (default: native frame size)")
+    parser.add_argument("--bw", action="store_true",
+                        help="also compute backward flow (not written)")
+    args = parser.parse_args(argv)
+
+    import glob as _glob
+
+    cfg = load_config(args.config)
+    ckpt = args.model or cfg.get("inference", {}).get("pretrained_model")
+    if not ckpt:
+        parser.error("no checkpoint: pass -m or set inference.pretrained_model")
+
+    from arflow_tpu.serving import StreamingFlowEngine, run_stream
+    from arflow_tpu.training.checkpoint import load_pretrained
+
+    if os.path.isdir(args.frames):
+        paths = sorted(
+            p for p in _glob.glob(os.path.join(args.frames, "*"))
+            if p.lower().endswith((".png", ".ppm", ".jpg", ".jpeg"))
+        )
+    else:
+        paths = sorted(_glob.glob(args.frames))
+    if len(paths) < 2:
+        parser.error(f"need >=2 frames, found {len(paths)} in {args.frames}")
+
+    size_hw = None
+    if args.size:
+        h, w = (int(s) for s in args.size.lower().split("x"))
+        size_hw = (h, w)
+
+    variables = load_pretrained(ckpt, cfg.model)
+    engine = StreamingFlowEngine(
+        cfg.model, variables, loss_cfg=cfg.get("loss"), with_bw=args.bw
+    )
+    stats = run_stream(engine, paths, size_hw=size_hw, out_root=args.out)
+    print(
+        f"{stats['flows']} flows from {stats['frames']} frames: "
+        f"{stats['flows_per_sec']:.2f} flows/s steady-state"
+    )

@@ -214,13 +214,25 @@ def run_stream(
     start = time.time()
 
     def _drain(item):
+        # When not writing outputs we deliberately do NOT fetch the full
+        # flow field — device-side sync is a scalar fetch (see below); a
+        # full-field D2H would bill host transfer into the compute rate.
+        if out_root is None:
+            return
         path, out = item
         flow = np.asarray(out["flow"])[0]
-        if out_root is not None:
-            os.makedirs(out_root, exist_ok=True)
-            stem = os.path.splitext(os.path.basename(path))[0]
-            write_flo(os.path.join(out_root, stem + ".flo"), flow)
+        os.makedirs(out_root, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        write_flo(os.path.join(out_root, stem + ".flo"), flow)
 
+    def _sync(out):
+        # Data-dependent scalar fetch: device execution is in-order, so a
+        # scalar reduced from this flow proves every prior step finished.
+        import jax.numpy as jnp
+
+        return float(jnp.sum(out["flow"]))
+
+    last = None
     while True:
         item = q.get()
         if item is None:
@@ -234,12 +246,15 @@ def run_stream(
         if pending is not None:
             _drain(pending)
         pending = (path, out)
+        last = out
         if n_flows == warmup:
             # Steady-state clock starts after compiles; sync first.
-            np.asarray(out["flow"])
+            _sync(out)
             t0 = time.time()
     if pending is not None:
         _drain(pending)
+    if last is not None and out_root is None:
+        _sync(last)
     now = time.time()
     steady = max(n_flows - warmup, 0) if t0 is not None else 0
     if steady > 0:

@@ -5,11 +5,16 @@ the ARFlow grid_sample convention, occlusion from level 0 (bidirectional brox
 or backward wang), L1 + SSIM + ternary photometric, edge-aware smoothness on
 scale-normalized flow.
 
-Documented divergence: the reference passes the (dist, mask) tuple returned by
-the refactored TernaryLoss into arithmetic (losses/flow_loss.py:24-25 vs
-loss_blocks.py:62) — a crash if w_ternary > 0. Here the ternary term uses the
-distance map masked by the census validity mask (the original ARFlow
-behavior).
+Documented divergences:
+- the reference passes the (dist, mask) tuple returned by the refactored
+  TernaryLoss into arithmetic (losses/flow_loss.py:24-25 vs loss_blocks.py:62)
+  — a crash if w_ternary > 0. Here the ternary term uses the distance map
+  masked by the census validity mask (the original ARFlow behavior).
+- configs with w_scales[0] == 0 crash the reference (flow_loss.py:80-84 reads
+  pyramid_occu_mask1[0] which was never appended). Here the level-0 occlusion
+  masks (and the flow normalizer s) are computed on demand from
+  pyramid_flows[0] even when level 0 itself carries no loss weight; numerics
+  are identical for every config the reference can actually run.
 """
 
 from __future__ import annotations
@@ -60,6 +65,16 @@ class UnFlowLoss:
             return smooth_grad_2nd(flow, im_scaled, self.cfg.alpha)
         return smooth_grad_1st(flow, im_scaled, self.cfg.alpha)
 
+    def _occu_masks_l0(self, flow0):
+        """Level-0 occlusion masks (reference flow_loss.py:71-78)."""
+        if self.cfg.get("occ_from_back", False):
+            m1 = 1.0 - get_occu_mask_backward(flow0[..., 2:], th=0.2)
+            m2 = 1.0 - get_occu_mask_backward(flow0[..., :2], th=0.2)
+        else:
+            m1 = 1.0 - get_occu_mask_bidirection(flow0[..., :2], flow0[..., 2:])
+            m2 = 1.0 - get_occu_mask_bidirection(flow0[..., 2:], flow0[..., :2])
+        return m1, m2
+
     def __call__(self, res_dict, img1, img2):
         cfg = self.cfg
         pyramid_flows = [
@@ -82,19 +97,15 @@ class UnFlowLoss:
             im1_recons = flow_warp(im2_scaled, flow[..., :2], pad=cfg.warp_pad)
             im2_recons = flow_warp(im1_scaled, flow[..., 2:], pad=cfg.warp_pad)
 
+            if occu1_l0 is None:
+                # Always derived from the level-0 flow, even when level 0
+                # itself carries no loss weight (where the reference crashes;
+                # see the module docstring).
+                occu1_l0, occu2_l0 = self._occu_masks_l0(pyramid_flows[0])
+                f0 = pyramid_flows[0]
+                s = min(f0.shape[1], f0.shape[2])
             if i == 0:
-                if cfg.get("occ_from_back", False):
-                    occu_mask1 = 1.0 - get_occu_mask_backward(flow[..., 2:], th=0.2)
-                    occu_mask2 = 1.0 - get_occu_mask_backward(flow[..., :2], th=0.2)
-                else:
-                    occu_mask1 = 1.0 - get_occu_mask_bidirection(
-                        flow[..., :2], flow[..., 2:]
-                    )
-                    occu_mask2 = 1.0 - get_occu_mask_bidirection(
-                        flow[..., 2:], flow[..., :2]
-                    )
-                occu1_l0, occu2_l0 = occu_mask1, occu_mask2
-                s = min(h, w)
+                occu_mask1, occu_mask2 = occu1_l0, occu2_l0
             else:
                 occu_mask1 = _resize_nearest(occu1_l0, (h, w))
                 occu_mask2 = _resize_nearest(occu2_l0, (h, w))

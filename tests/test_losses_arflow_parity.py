@@ -53,6 +53,36 @@ def split_res(levels, with_var=False):
             "flows_bw": [jnp.asarray(b) for b in bw]}
 
 
+def test_unflow_loss_zero_level0_weight(rng):
+    """w_scales[0]==0 crashes the reference (flow_loss.py:80-84 IndexError);
+    ours derives the l0 occlusion mask and normalizer on demand (div #27).
+    The per-level photometric terms must decompose linearly, proving the
+    skipped-l0 path uses the SAME masks/s as the all-level path."""
+    base = {
+        "type": "unflow", "w_l1": 0.15, "w_ssim": 0.85, "w_ternary": 0.0,
+        "w_smooth": 75.0, "alpha": 10.0, "w_sm_scales": [1.0, 0.0, 0.0, 0.0],
+        "occ_from_back": True, "smooth_2nd": False, "warp_pad": "border",
+        "with_bk": True,
+    }
+    img1 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    res = split_res(make_pyramid(rng))
+
+    def run(ws):
+        cfg = Config(dict(base, w_scales=ws))
+        return jax.jit(UnFlowLoss(cfg).__call__)(res, img1, img2)
+
+    full = run([1.0, 1.0, 1.0, 0.0])
+    tail = run([0.0, 1.0, 1.0, 0.0])
+    head = run([1.0, 0.0, 0.0, 0.0])
+    assert np.isfinite(float(tail["total"]))
+    # level 0 skipped => its smooth term is 0 and w_sm_scales[0] has no effect
+    assert float(tail["l_sm"]) == 0.0
+    np.testing.assert_allclose(
+        float(tail["l_ph"]) + float(head["l_ph"]), float(full["l_ph"]), rtol=1e-5
+    )
+
+
 @pytest.mark.parametrize("occ_from_back,smooth_2nd", [(False, False), (True, True)])
 def test_unflow_loss_parity(rng, occ_from_back, smooth_2nd):
     cfg = Config(

@@ -427,3 +427,36 @@ def stream_cli(argv=None):
         f"{stats['flows']} flows from {stats['frames']} frames: "
         f"{stats['flows_per_sec']:.2f} flows/s steady-state"
     )
+
+
+def to_torch_cli(argv=None):
+    """Convert a native msgpack checkpoint into a reference-format
+    ``.pth.tar`` loadable by the PyTorch reference (strict name-based
+    restore, utils/torch_utils.py:54-79) — the reverse migration direction.
+    """
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True,
+                        help="config naming the model family (cfg.model)")
+    parser.add_argument("-m", "--model", required=True,
+                        help="native checkpoint (.msgpack) or orbax dir")
+    parser.add_argument("-o", "--output", required=True,
+                        help=".pth(.tar) file to write")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config)
+
+    from arflow_tpu.models.torch_export import save_torch_checkpoint
+    from arflow_tpu.training.checkpoint import load_checkpoint, load_checkpoint_orbax
+
+    if os.path.isdir(args.model):
+        state = load_checkpoint_orbax(args.model)
+    else:
+        state = load_checkpoint(args.model)
+    variables = {"params": state.get("params", state)}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    else:
+        variables = variables["params"]
+    epoch = int(state.get("epoch", 0)) if isinstance(state, dict) else 0
+    save_torch_checkpoint(args.output, variables, cfg.model, epoch=epoch)
+    print(f"wrote {args.output} (epoch {epoch}, model type {cfg.model.type})")

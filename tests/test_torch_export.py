@@ -171,3 +171,16 @@ def test_to_torch_cli_e2e(tmp_path):
     fresh.load_state_dict(blob["state_dict"], strict=True)
     for k, v in _np_sd(fresh.state_dict()).items():
         np.testing.assert_array_equal(v, sd[k], err_msg=k)
+
+
+def test_component_net_roundtrip():
+    torch.manual_seed(0)
+    cfg = Config({
+        "feature_norm": True, "level_dropout": 0.0,
+        "out_channels": [2, 2, 0], "inv_cov": False,
+        "n_pyramids": 1, "mixture_weights": False,
+    })
+    ref = prob_ref.ComponentNet(cfg)
+    sd = _np_sd(ref.state_dict())
+    exported = te.export_component_net(ti.import_component_net(sd))
+    _assert_roundtrip(sd, exported, dead_keys=("_context_up_layers.0.",))

@@ -122,6 +122,8 @@ class BaseTrainer:
             "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.cfg.get("nan_revert", False):
+            state["nan_skips"] = jnp.zeros((), jnp.int32)
         if self._has_batch_stats:
             state["batch_stats"] = batch_stats
         self.state = replicate(self.mesh, state)
@@ -265,6 +267,16 @@ class BaseTrainer:
         for (it, step, n, _), vals in zip(self._pending_metrics, fetched):
             row = [float(vals[k]) for k in metric_keys]
             if not np.isfinite(row[0]):
+                if self.cfg.get("nan_revert", False):
+                    # The jitted step already discarded this update
+                    # (apply_updates_step revert_nonfinite); keep the bad
+                    # row out of the meters and carry on.
+                    self._log.warning(
+                        "non-finite training loss (%s) at iter %d "
+                        "(epoch %d, step %d) — update reverted (nan_revert)",
+                        row[0], it, self.i_epoch, step,
+                    )
+                    continue
                 # The rows are queued per step, so the flush attributes the
                 # exact failing iteration even though the fetch is deferred.
                 raise FloatingPointError(
@@ -284,8 +296,19 @@ class BaseTrainer:
         self._pending_metrics.clear()
 
 
-def apply_updates_step(tx, state, grads, new_batch_stats=None):
-    """Shared optimizer-update tail for train steps."""
+def apply_updates_step(tx, state, grads, new_batch_stats=None, total=None,
+                       revert_nonfinite=False):
+    """Shared optimizer-update tail for train steps.
+
+    With ``revert_nonfinite`` (cfg.train.nan_revert), a step whose loss or
+    gradients are non-finite is discarded INSIDE the jitted step: params,
+    opt_state and batch_stats keep their previous values (a device-side
+    select — no host sync, no checkpoint reload) and ``nan_skips`` counts
+    the discard. This is the working version of the reference's disabled
+    revert-last-step-on-NaN mechanism (uflow_elbo_trainer.py:77-86,
+    commented out there); default OFF preserves reference semantics (a
+    non-finite loss aborts training via the deferred guard).
+    """
     updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
     params = optax.apply_updates(state["params"], updates)
     new_state = {
@@ -297,6 +320,21 @@ def apply_updates_step(tx, state, grads, new_batch_stats=None):
         new_state["batch_stats"] = new_batch_stats
     elif "batch_stats" in state:
         new_state["batch_stats"] = state["batch_stats"]
+    if not revert_nonfinite:
+        return new_state
+    ok = jnp.isfinite(total) if total is not None else jnp.bool_(True)
+    ok &= jax.tree_util.tree_reduce(
+        lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True)
+    )
+    for key in ("params", "opt_state", "batch_stats"):
+        if key in new_state and key in state:
+            new_state[key] = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_state[key], state[key],
+            )
+    new_state["nan_skips"] = state.get("nan_skips", jnp.zeros((), jnp.int32)) + (
+        1 - ok.astype(jnp.int32)
+    )
     return new_state
 
 

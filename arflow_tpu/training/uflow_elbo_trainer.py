@@ -63,6 +63,7 @@ class UFlowElboTrainer(BaseTrainer):
 
     def _build_train_step(self):
         model, loss_func, tx = self.model, self.loss_func, self.tx
+        nan_revert = self.cfg.get("nan_revert", False)
         has_bs = self._has_batch_stats
 
         def fwd(params, bs, a, b, rng):
@@ -95,7 +96,10 @@ class UFlowElboTrainer(BaseTrainer):
             (_, (out, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state["params"])
-            new_state = apply_updates_step(tx, state, grads, new_bs)
+            new_state = apply_updates_step(
+                tx, state, grads, new_bs, total=out["total"],
+                revert_nonfinite=nan_revert,
+            )
             metrics = {
                 k: out[k] for k in ("total", "l_ph", "l_sm", "entropy", "l_oof")
             }

@@ -39,6 +39,7 @@ class UFlowTrainer(BaseTrainer):
 
     def _build_train_step(self):
         model, loss_func, tx = self.model, self.loss_func, self.tx
+        nan_revert = self.cfg.get("nan_revert", False)
         device_ph = self._device_photometric()
 
         def fwd(params, a, b, rng):
@@ -58,7 +59,10 @@ class UFlowTrainer(BaseTrainer):
             (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"]
             )
-            new_state = apply_updates_step(tx, state, grads)
+            new_state = apply_updates_step(
+                tx, state, grads, total=out["total"],
+                revert_nonfinite=nan_revert,
+            )
             metrics = {
                 k: out[k] for k in ("total", "l_ph", "l_sm", "flow_mean")
             }

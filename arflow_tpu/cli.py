@@ -64,6 +64,12 @@ def train_main(cfg, log):
     from arflow_tpu.models import get_model
     from arflow_tpu.training import get_trainer
 
+    if cfg.model.get("dtype") == "int8":
+        raise ValueError(
+            "model.dtype 'int8' is a serving-only mode (the quantization "
+            "round has zero gradient); train with 'bfloat16' and switch "
+            "the inference/serving config to 'int8'."
+        )
     seed_everything(cfg.seed)
     train_loader, valid_loader = build_loaders(cfg, log)
 

@@ -21,12 +21,22 @@ from arflow_tpu.models.uflow_prob import PWCProbFlow, ComponentNet  # noqa: F401
 
 def _parse_dtype(name):
     """Model 'dtype' config: None/'float32' -> f32 math; 'bfloat16' -> bf16
-    compute with f32 params and f32 outputs (TPU mixed precision)."""
+    compute with f32 params and f32 outputs (TPU mixed precision); 'int8' ->
+    bf16 compute plus dynamically-quantized int8 feature-pyramid convs
+    (SERVING-ONLY — the quantization round has zero gradient; trainers
+    reject it). The int8 path is the trace-time ARFLOW_INT8_PYRAMID gate
+    (models/layers.py), enabled here for the process unless the env
+    explicitly overrides it."""
     if name in (None, "float32", "f32"):
         return None
     import jax.numpy as jnp
 
     if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name == "int8":
+        import os
+
+        os.environ.setdefault("ARFLOW_INT8_PYRAMID", "1")
         return jnp.bfloat16
     raise NotImplementedError(f"model dtype {name}")
 

@@ -70,12 +70,59 @@ def conv_npad_enabled(default: bool = False) -> bool:
     return default
 
 
+def int8_pyramid_enabled(default: bool = False) -> bool:
+    """Trace-time gate for int8 feature-pyramid convs
+    (``ARFLOW_INT8_PYRAMID=0/1`` force-overrides). SERVING-ONLY: the
+    quantization round has zero gradient, so training must keep it off.
+
+    Measured (benchmarks/bench_int8_conv_probe.py, TPU v5e, chained): the
+    MXU runs int8 at ~2x the bf16 rate, and XLA lowers int8
+    ``conv_general_dilated`` onto it — the pyramid's thin 32-channel convs,
+    which sit at a quarter of the ~43% tall-skinny bf16 conv wall
+    (BASELINE.md "MFU ceiling analysis"), speed up 1.58x (3x3 32->32 at
+    16x192x320) to 1.88x (stride-2 stem). The dense-net decoder conv is
+    FASTER in bf16 (0.50 vs 1.37 ms at K=4194) and the refinement stack
+    likewise — so quantization covers the pyramid only.
+    """
+    import os
+
+    env = os.environ.get("ARFLOW_INT8_PYRAMID")
+    if env is not None:
+        return env == "1"
+    return default
+
+
+def quantized_conv2d(x, kernel, bias, stride, pad):
+    """Dynamically-quantized int8 conv: per-SAMPLE symmetric activation
+    scales (batch entries never couple — b1 streaming numerics == batched),
+    per-OUTPUT-CHANNEL weight scales, int32 MXU accumulation, f32 dequant.
+    ``kernel``/``bias`` are the layer's ordinary f32 params (weights are
+    quantized at trace time per call; they are tiny next to the conv).
+    """
+    xf = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+    ax = jnp.maximum(ax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / ax), -127.0, 127.0).astype(jnp.int8)
+    sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+    sw = jnp.maximum(sw, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kernel / sw), -127.0, 127.0).astype(jnp.int8)
+    yi = lax.conv_general_dilated(
+        xq, wq, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return yi.astype(jnp.float32) * (ax * sw) + bias
+
+
 class Conv2dNPad(nn.Module):
     """3x3-family conv whose OUTPUT channels are zero-padded to ``pad_to``
     on the MXU when the gate is on (bf16 thin-N workaround; see
     ``conv_npad_enabled``). Parameters are IDENTICAL to ``conv2d``'s
     ``nn.Conv`` ('kernel' (k,k,cin,features) HWIO + 'bias'), so checkpoints
     and torch imports are layout-stable and the gate flips at trace time.
+
+    A second trace-time gate, ``int8_pyramid_enabled``, swaps the apply
+    path for a dynamically-quantized int8 conv (serving-only; same params).
     """
 
     features: int
@@ -100,6 +147,9 @@ class Conv2dNPad(nn.Module):
         )
         dt = self.dtype if self.dtype is not None else x.dtype
         pad = (k - 1) // 2
+        if int8_pyramid_enabled(default=False):
+            return quantized_conv2d(kernel=kernel, bias=bias, x=x,
+                                    stride=s, pad=pad).astype(dt)
         use_pad = (
             self.features < self.pad_to
             and dt == jnp.bfloat16

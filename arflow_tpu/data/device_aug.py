@@ -133,8 +133,11 @@ def make_photometric(cfg):
         for name, _ in jitter_ops:
             key, sub = jax.random.split(key)
             lo, hi = ranges[name]
+            # Explicit f32: under jax_enable_x64 (the test suite) the default
+            # draw would be f64 and poison the f32 image math (the hue
+            # .at[].set becomes a cross-dtype scatter — a future-JAX error).
             params[name] = jax.random.uniform(
-                sub, (batch_size,), minval=lo, maxval=hi
+                sub, (batch_size,), minval=lo, maxval=hi, dtype=jnp.float32
             )
         if len(perms) > 1:
             key, sub = jax.random.split(key)
@@ -144,7 +147,7 @@ def make_photometric(cfg):
         if with_gamma:
             key, sub = jax.random.split(key)
             params["gamma"] = jax.random.uniform(
-                sub, (batch_size,), minval=0.7, maxval=1.5
+                sub, (batch_size,), minval=0.7, maxval=1.5, dtype=jnp.float32
             )
         if with_swap:
             key, sub = jax.random.split(key)

@@ -73,12 +73,17 @@ class StreamingFlowEngine:
         model = self._model
         variables = self._variables
 
-        if self._type == "pwclite" and getattr(model, "n_frames", 2) != 2:
+        n_frames = getattr(model, "n_frames", 2)
+        if self._type == "pwclite" and n_frames not in (2, 3):
             raise ValueError(
-                "StreamingFlowEngine supports the 2-frame PWCLite; the 3/5-"
-                "frame fusion variants consume multiple pyramids per output "
-                "inside one model call (use the monolithic forward)."
+                "StreamingFlowEngine supports the 2-frame and 3-frame "
+                "PWCLite; the 5-frame variant chains multiple 3-frame "
+                "windows inside one model call (use the monolithic forward)."
             )
+        # Frames per output window: 3 for the multi-view PWCLite (the
+        # sliding monolithic loop would recompute every frame's pyramid 3x;
+        # streaming computes each exactly once), else 2.
+        self._window = 3 if (self._type == "pwclite" and n_frames == 3) else 2
 
         if self._type == "uflow_prob":
             if getattr(model, "mixture_weights", False):
@@ -118,14 +123,26 @@ class StreamingFlowEngine:
         self._pyramid_fn = jax.jit(
             lambda img: model.apply(variables, img, method=pyramid_m)
         )
-        self._pair_fn = jax.jit(
-            lambda a, b: model.apply(variables, a, b, method=pair_m)
-        )
-        self._prev_fp = None
+        if self._window == 3:
+            # Bidirectional 3-frame fusion centered on the middle frame
+            # (models/pwclite.py:206-258 semantics): one call emits both
+            # flow_10 (center -> prev) and flow_12 (center -> next).
+            def triple_m(m, fp0, fp1, fp2):
+                return m.forward_3_frames(fp0, fp1, fp2)
+
+            self._triple_fn = jax.jit(
+                lambda a, b, c: model.apply(variables, a, b, c,
+                                            method=triple_m)
+            )
+        else:
+            self._pair_fn = jax.jit(
+                lambda a, b: model.apply(variables, a, b, method=pair_m)
+            )
+        self._prev_fps: list = []
 
     def reset(self):
-        """Drop the cached pyramid (call at video/scene boundaries)."""
-        self._prev_fp = None
+        """Drop the cached pyramids (call at video/scene boundaries)."""
+        self._prev_fps = []
 
     def _outputs(self, flows):
         import jax
@@ -142,8 +159,12 @@ class StreamingFlowEngine:
     def push(self, frame) -> dict | None:
         """Feed the next frame (B,H,W,3) float32 in [0,1].
 
-        Returns None for the first frame after construction/reset; afterwards
-        a dict with 'flow' (prev -> cur, B,H,W,2) [, 'flow_bw', 'entropy'].
+        Returns None until a full window is cached (1 frame for the 2-frame
+        engine, 2 for the 3-frame one); afterwards a dict with 'flow'
+        (B,H,W,2) [, 'flow_bw', 'entropy']. 2-frame: flow = prev -> cur.
+        3-frame: the window is centered on the PREVIOUS frame, so flow =
+        (t-1) -> t and flow_bw = (t-1) -> (t-2) — outputs trail the stream
+        by one frame, like the reference's multi-view inference windows.
         Outputs are device arrays (async): reading them blocks on the device.
         """
         import jax.numpy as jnp
@@ -152,12 +173,19 @@ class StreamingFlowEngine:
         if frame.ndim == 3:
             frame = frame[None]
         fp = self._pyramid_fn(frame)
-        prev, self._prev_fp = self._prev_fp, fp
-        if prev is None:
+        prev = self._prev_fps
+        self._prev_fps = (prev + [fp])[-(self._window - 1):]
+        if len(prev) < self._window - 1:
             return None
-        out = self._outputs(self._pair_fn(prev, fp))
+        if self._window == 3:
+            flows_10, flows_12 = self._triple_fn(prev[0], prev[1], fp)
+            out = self._outputs(flows_12)
+            if self._with_bw:
+                out["flow_bw"] = flows_10[0][..., 0:2]
+            return out
+        out = self._outputs(self._pair_fn(prev[0], fp))
         if self._with_bw:
-            out["flow_bw"] = self._pair_fn(fp, prev)[0][..., 0:2]
+            out["flow_bw"] = self._pair_fn(fp, prev[0])[0][..., 0:2]
         return out
 
 

@@ -117,6 +117,82 @@ def main():
             "streaming_flows_per_s": round(1.0 / max(t_stream, 1e-9), 1),
         }), flush=True)
 
+    three_frame(rng, rtt, timed)
+
+
+def three_frame(rng, rtt, timed):
+    """3-frame PWCLite (README multi-view): the monolithic sliding window
+    recomputes every frame's pyramid 3x; the streaming engine computes each
+    exactly once (engine.py 3-frame window). Scan carry = the two cached
+    pyramids."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from arflow_tpu.models.pwclite import PWCLite
+
+    h, w = 384, 640
+    frames = jnp.asarray(rng.rand(CHAIN, 1, h, w, 3).astype(np.float32))
+    img0 = frames[0]
+
+    for dt_name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        model = PWCLite(n_frames=3, dtype=dt)
+        params = jax.jit(
+            lambda r, a: model.init(r, a, a, a, with_bk=False)
+        )(jax.random.PRNGKey(0), img0)["params"]
+
+        def pyramid(p, img):
+            return model.apply(
+                {"params": p}, img,
+                method=lambda m, x: m.feature_extractor(x),
+            )
+
+        def decode3(p, fp0, fp1, fp2):
+            return model.apply(
+                {"params": p}, fp0, fp1, fp2,
+                method=lambda m, a, b, c: m.forward_3_frames(a, b, c),
+            )
+
+        @jax.jit
+        def chain_monolithic(p, fr):
+            def body(c, frame):
+                res = model.apply(
+                    {"params": p}, fr[0] + c * 1e-12, fr[1], frame,
+                    with_bk=True,
+                )
+                out = res["flows_fw"][0] + res["flows_bw"][0]
+                return c + jnp.sum(out) * 1e-20, None
+
+            c, _ = lax.scan(body, jnp.float32(0.0), fr, length=CHAIN)
+            return c
+
+        @jax.jit
+        def chain_streaming(p, fr):
+            fp0 = pyramid(p, fr[0])
+            fp1 = pyramid(p, fr[1])
+
+            def body(carry, frame):
+                fp_a, fp_b, c = carry
+                fp = pyramid(p, frame + c * 1e-12)
+                flows_10, flows_12 = decode3(p, fp_a, fp_b, fp)
+                c = c + jnp.sum(flows_12[0] + flows_10[0]) * 1e-20
+                return (fp_b, fp, c), None
+
+            (_, _, c), _ = lax.scan(
+                body, (fp0, fp1, jnp.float32(0.0)), fr, length=CHAIN
+            )
+            return c
+
+        t_mono = (timed(chain_monolithic, params, frames) - rtt) / CHAIN
+        t_stream = (timed(chain_streaming, params, frames) - rtt) / CHAIN
+        print(json.dumps({
+            "metric": f"serving_3frame_384x640_b1_{dt_name}",
+            "monolithic_ms_per_window": round(t_mono * 1e3, 3),
+            "streaming_ms_per_window": round(t_stream * 1e3, 3),
+            "speedup": round(t_mono / max(t_stream, 1e-9), 3),
+            "streaming_windows_per_s": round(1.0 / max(t_stream, 1e-9), 1),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -167,14 +167,53 @@ def test_streaming_engine_prob_entropy(rng):
     )
 
 
-def test_streaming_engine_rejects_unsupported():
-    model_cfg = Config({"type": "pwclite", "n_frames": 3})
+def test_streaming_engine_3frame_matches_monolithic(rng):
+    """The 3-frame PWCLite streams with ONE pyramid per frame; outputs match
+    the monolithic model(img0, img1, img2) windows (which recompute every
+    frame's pyramid per window) up to jit-boundary reassociation."""
+    model_cfg = Config({"type": "pwclite", "n_frames": 3,
+                        "reduce_dense": True, "upsample": True})
+    h = w = 64
     model = get_model(model_cfg)
-    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, img, img, img, with_bk=False))(
         jax.random.PRNGKey(0)
     )
-    with pytest.raises(ValueError, match="2-frame"):
+
+    engine = StreamingFlowEngine(model_cfg, variables, with_bw=True)
+    frames = [rng.rand(1, h, w, 3).astype(np.float32) for _ in range(4)]
+    assert engine.push(frames[0]) is None
+    assert engine.push(frames[1]) is None  # 3-frame window needs 2 cached
+    outs = [engine.push(frames[2]), engine.push(frames[3])]
+
+    fwd = jax.jit(
+        lambda a, b, c: model.apply(variables, a, b, c, with_bk=True)
+    )
+    for i, out in enumerate(outs):  # window (i, i+1, i+2), centered i+1
+        res = fwd(*(jnp.asarray(f) for f in frames[i : i + 3]))
+        np.testing.assert_allclose(  # flows_fw = flow_12 (center -> next)
+            np.asarray(out["flow"]),
+            np.asarray(res["flows_fw"][0][..., :2]),
+            atol=1e-4, rtol=0,
+        )
+        np.testing.assert_allclose(  # flows_bw = flow_10 (center -> prev)
+            np.asarray(out["flow_bw"]),
+            np.asarray(res["flows_bw"][0][..., :2]),
+            atol=1e-4, rtol=0,
+        )
+
+    engine.reset()
+    assert engine.push(frames[0]) is None
+
+
+def test_streaming_engine_rejects_unsupported():
+    model_cfg = Config({"type": "pwclite", "n_frames": 5})
+    model = get_model(model_cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init(r, img, img, img, img, img, with_bk=False)
+    )(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="5-frame"):
         StreamingFlowEngine(model_cfg, variables)
 
 

@@ -360,6 +360,10 @@ def export_cli(argv=None):
                         help="HxW input size (default 384x640)")
     parser.add_argument("--platforms", default="tpu",
                         help="comma list, e.g. 'tpu' or 'tpu,cpu' (portable)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="export the split pyramid+decoder programs "
+                             "(one-pyramid-per-frame streaming, source-free; "
+                             "run with arflow-stream --artifact)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -367,17 +371,29 @@ def export_cli(argv=None):
     if not ckpt:
         parser.error("no checkpoint: pass -m or set inference.pretrained_model")
 
-    from arflow_tpu.serving import export_inference, save_artifact
+    from arflow_tpu.serving import (
+        export_inference,
+        export_streaming,
+        save_artifact,
+        save_streaming_artifact,
+    )
     from arflow_tpu.training.checkpoint import load_pretrained
 
     h, w = (int(s) for s in args.size.lower().split("x"))
     variables = load_pretrained(ckpt, cfg.model)
-    exported, meta = export_inference(
-        cfg, variables, args.batch, (h, w),
-        platforms=tuple(p.strip() for p in args.platforms.split(",")),
-    )
-    meta["checkpoint"] = str(ckpt)
-    save_artifact(args.output, exported, meta)
+    platforms = tuple(p.strip() for p in args.platforms.split(","))
+    if args.streaming:
+        exported, meta = export_streaming(
+            cfg, variables, args.batch, (h, w), platforms=platforms
+        )
+        meta["checkpoint"] = str(ckpt)
+        save_streaming_artifact(args.output, exported, meta)
+    else:
+        exported, meta = export_inference(
+            cfg, variables, args.batch, (h, w), platforms=platforms
+        )
+        meta["checkpoint"] = str(ckpt)
+        save_artifact(args.output, exported, meta)
     print(f"wrote {args.output}: {meta}")
 
 
@@ -388,25 +404,40 @@ def stream_cli(argv=None):
     flow for pair (t-1, t) is written as <stem_t>.flo under --out.
     """
     parser = argparse.ArgumentParser()
-    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-c", "--config", default=None)
     parser.add_argument("-m", "--model", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="streaming AOT artifact (arflow-export "
+                             "--streaming); replaces -c/-m — no model "
+                             "source or checkpoint needed")
     parser.add_argument("--frames", required=True,
                         help="directory of frames or a glob pattern")
     parser.add_argument("--out", default=None, help="output dir for .flo")
     parser.add_argument("--size", default=None,
-                        help="HxW inference size (default: native frame size)")
+                        help="HxW inference size (default: native frame "
+                             "size; artifacts use their exported size)")
     parser.add_argument("--bw", action="store_true",
                         help="also compute backward flow (not written)")
     args = parser.parse_args(argv)
 
     import glob as _glob
 
-    cfg = load_config(args.config)
-    ckpt = args.model or cfg.get("inference", {}).get("pretrained_model")
-    if not ckpt:
-        parser.error("no checkpoint: pass -m or set inference.pretrained_model")
+    from arflow_tpu.serving import (
+        StreamingFlowEngine,
+        load_streaming_artifact,
+        run_stream,
+    )
 
-    from arflow_tpu.serving import StreamingFlowEngine, run_stream
+    if args.artifact is None:
+        if args.config is None:
+            parser.error("pass --artifact or -c/--config")
+        cfg = load_config(args.config)
+        ckpt = args.model or cfg.get("inference", {}).get("pretrained_model")
+        if not ckpt:
+            parser.error(
+                "no checkpoint: pass -m or set inference.pretrained_model"
+            )
+
     from arflow_tpu.training.checkpoint import load_pretrained
 
     if os.path.isdir(args.frames):
@@ -424,10 +455,15 @@ def stream_cli(argv=None):
         h, w = (int(s) for s in args.size.lower().split("x"))
         size_hw = (h, w)
 
-    variables = load_pretrained(ckpt, cfg.model)
-    engine = StreamingFlowEngine(
-        cfg.model, variables, loss_cfg=cfg.get("loss"), with_bw=args.bw
-    )
+    if args.artifact is not None:
+        engine = load_streaming_artifact(args.artifact)
+        # The exported programs have static shapes: resize to them.
+        size_hw = (engine.meta["height"], engine.meta["width"])
+    else:
+        variables = load_pretrained(ckpt, cfg.model)
+        engine = StreamingFlowEngine(
+            cfg.model, variables, loss_cfg=cfg.get("loss"), with_bw=args.bw
+        )
     stats = run_stream(engine, paths, size_hw=size_hw, out_root=args.out)
     print(
         f"{stats['flows']} flows from {stats['frames']} frames: "

@@ -10,19 +10,27 @@ The reference serves by re-running the torch model from source per pair
 
 from arflow_tpu.serving.export import (
     ServingArtifact,
+    StreamingArtifact,
     build_inference_fn,
     export_inference,
+    export_streaming,
     load_artifact,
+    load_streaming_artifact,
     save_artifact,
+    save_streaming_artifact,
 )
 from arflow_tpu.serving.engine import StreamingFlowEngine, run_stream
 
 __all__ = [
     "ServingArtifact",
+    "StreamingArtifact",
     "build_inference_fn",
     "export_inference",
+    "export_streaming",
     "load_artifact",
+    "load_streaming_artifact",
     "save_artifact",
+    "save_streaming_artifact",
     "StreamingFlowEngine",
     "run_stream",
 ]

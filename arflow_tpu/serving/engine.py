@@ -120,9 +120,12 @@ class StreamingFlowEngine:
             def pair_m(m, fp1, fp2):
                 return m.forward_2_frames(fp1, fp2)
 
-        self._pyramid_fn = jax.jit(
-            lambda img: model.apply(variables, img, method=pyramid_m)
+        # Raw (un-jitted) closures are kept for AOT export of the streaming
+        # programs (serving/export.py export_streaming).
+        self._pyramid_raw = lambda img: model.apply(
+            variables, img, method=pyramid_m
         )
+        self._pyramid_fn = jax.jit(self._pyramid_raw)
         if self._window == 3:
             # Bidirectional 3-frame fusion centered on the middle frame
             # (models/pwclite.py:206-258 semantics): one call emits both
@@ -130,14 +133,15 @@ class StreamingFlowEngine:
             def triple_m(m, fp0, fp1, fp2):
                 return m.forward_3_frames(fp0, fp1, fp2)
 
-            self._triple_fn = jax.jit(
-                lambda a, b, c: model.apply(variables, a, b, c,
-                                            method=triple_m)
+            self._triple_raw = lambda a, b, c: model.apply(
+                variables, a, b, c, method=triple_m
             )
+            self._triple_fn = jax.jit(self._triple_raw)
         else:
-            self._pair_fn = jax.jit(
-                lambda a, b: model.apply(variables, a, b, method=pair_m)
+            self._pair_raw = lambda a, b: model.apply(
+                variables, a, b, method=pair_m
             )
+            self._pair_fn = jax.jit(self._pair_raw)
         self._prev_fps: list = []
 
     def reset(self):

@@ -121,6 +121,178 @@ def export_inference(
     return exported, meta
 
 
+def export_streaming(
+    cfg,
+    variables,
+    batch: int,
+    size_hw,
+    *,
+    platforms=("tpu",),
+):
+    """Export the STREAMING serving programs: pyramid + decoder.
+
+    The monolithic artifact (``export_inference``) re-computes every frame's
+    feature pyramid per pair; this exports the engine's split programs so a
+    source-free deployment gets the same one-pyramid-per-frame reuse
+    (engine.py): ``pyramid(img) -> fp`` and either
+    ``decode(fp_prev, fp_cur) -> (flow, entropy)`` (2-frame window) or
+    ``decode(fp0, fp1, fp2) -> (flow_12, flow_10)`` (3-frame PWCLite).
+    Returns ``(exported_dict, meta)`` for ``save_streaming_artifact``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from arflow_tpu.serving.engine import StreamingFlowEngine
+    from arflow_tpu.training.entropy import extract_uv_entropy
+
+    loss_cfg = cfg.get("loss", {})
+    engine = StreamingFlowEngine(cfg.model, variables, loss_cfg=loss_cfg)
+    has_entropy = engine._loss_cfg is not None
+    h, w = int(size_hw[0]), int(size_hw[1])
+    spec = jax.ShapeDtypeStruct((int(batch), h, w, 3), np.float32)
+    fp_spec = jax.eval_shape(engine._pyramid_raw, spec)
+
+    non_tpu = any(p != "tpu" for p in platforms)
+    prev = os.environ.get("ARFLOW_USE_PALLAS")
+    try:
+        if non_tpu:
+            os.environ["ARFLOW_USE_PALLAS"] = "0"
+        exported = {
+            "pyramid": jexport.export(
+                jax.jit(engine._pyramid_raw), platforms=tuple(platforms)
+            )(spec)
+        }
+        if engine._window == 3:
+            def decode3(fp0, fp1, fp2):
+                flows_10, flows_12 = engine._triple_raw(fp0, fp1, fp2)
+                return flows_12[0][..., 0:2], flows_10[0][..., 0:2]
+
+            exported["decode"] = jexport.export(
+                jax.jit(decode3), platforms=tuple(platforms)
+            )(fp_spec, fp_spec, fp_spec)
+        else:
+            def decode(fp_prev, fp_cur):
+                flows = engine._pair_raw(fp_prev, fp_cur)
+                pred = flows[0][..., 0:2]
+                if has_entropy:
+                    ent = extract_uv_entropy(
+                        flows, engine._loss_cfg, {"flows_fw": flows},
+                        jax.random.PRNGKey(0),
+                    )
+                else:
+                    ent = jnp.zeros_like(pred)
+                return pred, ent
+
+            exported["decode"] = jexport.export(
+                jax.jit(decode), platforms=tuple(platforms)
+            )(fp_spec, fp_spec)
+    finally:
+        if non_tpu:
+            if prev is None:
+                os.environ.pop("ARFLOW_USE_PALLAS", None)
+            else:
+                os.environ["ARFLOW_USE_PALLAS"] = prev
+
+    meta = {
+        "model_type": cfg.model.type,
+        "has_entropy": bool(has_entropy),
+        "window": engine._window,
+        "batch": int(batch),
+        "height": h,
+        "width": w,
+        "platforms": list(platforms),
+    }
+    return exported, meta
+
+
+def save_streaming_artifact(path: str, exported: dict, meta: dict) -> None:
+    """Multi-program artifact: same AFX1 container, ``format: 2`` header
+    with a ``sections`` table; payloads are concatenated after the header."""
+    import jax
+
+    header = dict(meta)
+    header["format"] = 2
+    header["jax_version"] = jax.__version__
+    payloads = [(name, ex.serialize()) for name, ex in exported.items()]
+    header["sections"] = [[name, len(p)] for name, p in payloads]
+    hbytes = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(hbytes)))
+        f.write(hbytes)
+        for _, p in payloads:
+            f.write(p)
+
+
+@dataclass
+class StreamingArtifact:
+    """A loaded streaming artifact: a source-free StreamingFlowEngine.
+
+    ``push(frame)`` mirrors engine.push: None until the pyramid window is
+    full, then {'flow' [, 'flow_bw', 'entropy']}. 2-frame: flow = prev->cur
+    (+ per-approximation entropy when exported from a probabilistic config).
+    3-frame: flow = (t-1)->t, flow_bw = (t-1)->(t-2).
+    """
+
+    meta: dict
+    pyramid: object
+    decode: object
+    _prev: list = None
+    _pyr_call: object = None
+    _dec_call: object = None
+
+    def reset(self):
+        self._prev = []
+
+    def push(self, frame):
+        import jax
+        import jax.numpy as jnp
+
+        if self._pyr_call is None:
+            self._pyr_call = jax.jit(self.pyramid.call)
+            self._dec_call = jax.jit(self.decode.call)
+            self._prev = self._prev or []
+        frame = jnp.asarray(frame, jnp.float32)
+        if frame.ndim == 3:
+            frame = frame[None]
+        fp = self._pyr_call(frame)
+        window = int(self.meta.get("window", 2))
+        prev = self._prev
+        self._prev = (prev + [fp])[-(window - 1):]
+        if len(prev) < window - 1:
+            return None
+        if window == 3:
+            flow, flow_bw = self._dec_call(prev[0], prev[1], fp)
+            return {"flow": flow, "flow_bw": flow_bw}
+        flow, ent = self._dec_call(prev[0], fp)
+        out = {"flow": flow}
+        if self.meta.get("has_entropy"):
+            out["entropy"] = ent
+        return out
+
+
+def load_streaming_artifact(path: str) -> StreamingArtifact:
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an arflow export artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        if meta.get("format") != 2 or "sections" not in meta:
+            raise ValueError(
+                f"{path}: not a streaming artifact (use load_artifact)"
+            )
+        sections = {}
+        for name, ln in meta["sections"]:
+            sections[name] = jexport.deserialize(f.read(ln))
+    return StreamingArtifact(
+        meta=meta, pyramid=sections["pyramid"], decode=sections["decode"]
+    )
+
+
 def save_artifact(path: str, exported, meta: dict) -> None:
     """Write the single-file artifact (see module docstring for layout)."""
     import jax
@@ -162,6 +334,10 @@ def load_artifact(path: str) -> ServingArtifact:
             raise ValueError(f"{path}: not an arflow export artifact")
         (hlen,) = struct.unpack("<I", f.read(4))
         meta = json.loads(f.read(hlen).decode("utf-8"))
+        if "sections" in meta:
+            raise ValueError(
+                f"{path}: streaming artifact (use load_streaming_artifact)"
+            )
         payload = f.read()
     exported = jexport.deserialize(payload)
     return ServingArtifact(meta=meta, exported=exported)

@@ -217,6 +217,131 @@ def test_streaming_engine_rejects_unsupported():
         StreamingFlowEngine(model_cfg, variables)
 
 
+def test_streaming_export_roundtrip(tmp_path, rng):
+    """The streaming artifact (pyramid + decoder programs, format 2) is a
+    source-free engine: push() matches StreamingFlowEngine on the same
+    frames after a save/load roundtrip."""
+    from arflow_tpu.serving import (
+        export_streaming,
+        load_streaming_artifact,
+        save_streaming_artifact,
+    )
+
+    model_cfg, model, variables = _init_uflow()
+    cfg = Config({"model": dict(model_cfg), "loss": {}})
+    exported, meta = export_streaming(
+        cfg, variables, 1, (H, W), platforms=(jax.default_backend(),)
+    )
+    path = str(tmp_path / "model_stream.afx")
+    save_streaming_artifact(path, exported, meta)
+
+    art = load_streaming_artifact(path)
+    assert art.meta["window"] == 2 and art.meta["format"] == 2
+
+    engine = StreamingFlowEngine(model_cfg, variables)
+    frames = _frames(rng, 3)
+    assert art.push(frames[0]) is None
+    assert engine.push(frames[0]) is None
+    for f in frames[1:]:
+        out_art = art.push(f)
+        out_eng = engine.push(f)
+        np.testing.assert_allclose(
+            np.asarray(out_art["flow"]), np.asarray(out_eng["flow"]),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    # monolithic loader rejects the format-2 file with a clear error
+    with pytest.raises(ValueError, match="streaming"):
+        from arflow_tpu.serving import load_artifact
+
+        load_artifact(path)
+
+
+def test_streaming_export_3frame(tmp_path, rng):
+    from arflow_tpu.serving import (
+        export_streaming,
+        load_streaming_artifact,
+        save_streaming_artifact,
+    )
+
+    model_cfg = Config({"type": "pwclite", "n_frames": 3,
+                        "reduce_dense": True, "upsample": True})
+    h = w = 64
+    model = get_model(model_cfg)
+    img = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, img, img, img, with_bk=False))(
+        jax.random.PRNGKey(0)
+    )
+    cfg = Config({"model": dict(model_cfg), "loss": {}})
+    exported, meta = export_streaming(
+        cfg, variables, 1, (h, w), platforms=(jax.default_backend(),)
+    )
+    path = str(tmp_path / "mv_stream.afx")
+    save_streaming_artifact(path, exported, meta)
+    art = load_streaming_artifact(path)
+    assert art.meta["window"] == 3
+
+    engine = StreamingFlowEngine(model_cfg, variables, with_bw=True)
+    frames = [rng.rand(1, h, w, 3).astype(np.float32) for _ in range(3)]
+    for f in frames[:2]:
+        assert art.push(f) is None
+        engine.push(f)
+    out_art = art.push(frames[2])
+    out_eng = engine.push(frames[2])
+    np.testing.assert_allclose(
+        np.asarray(out_art["flow"]), np.asarray(out_eng["flow"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_art["flow_bw"]), np.asarray(out_eng["flow_bw"]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_streaming_export_entropy(tmp_path, rng):
+    from tests.test_models_prob import prob_cfg
+
+    from arflow_tpu.serving import (
+        export_streaming,
+        load_streaming_artifact,
+        save_streaming_artifact,
+    )
+
+    model_cfg = dict(prob_cfg())
+    model_cfg["type"] = "uflow_prob"
+    model_cfg = Config(model_cfg)
+    model = get_model(model_cfg)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, img, img, with_bk=False))(
+        jax.random.PRNGKey(0)
+    )
+    cfg = Config({"model": dict(model_cfg), "loss": {"approx": "diag"}})
+    exported, meta = export_streaming(
+        cfg, variables, 1, (H, W), platforms=(jax.default_backend(),)
+    )
+    assert meta["has_entropy"]
+    path = str(tmp_path / "prob_stream.afx")
+    save_streaming_artifact(path, exported, meta)
+    art = load_streaming_artifact(path)
+
+    engine = StreamingFlowEngine(
+        model_cfg, variables, loss_cfg=Config({"approx": "diag"})
+    )
+    frames = _frames(rng, 2)
+    art.push(frames[0])
+    engine.push(frames[0])
+    out_art = art.push(frames[1])
+    out_eng = engine.push(frames[1])
+    np.testing.assert_allclose(
+        np.asarray(out_art["flow"]), np.asarray(out_eng["flow"]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_art["entropy"]), np.asarray(out_eng["entropy"]),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
 def test_run_stream_writes_flo(tmp_path, rng):
     from PIL import Image
 
@@ -272,3 +397,19 @@ def test_stream_cli(tmp_path, rng):
         "--size", f"{H}x{W}",
     ])
     assert len(list(out_dir.glob("*.flo"))) == 2
+
+    # export --streaming then run source-free from the artifact
+    from arflow_tpu.cli import export_cli
+
+    art_path = str(tmp_path / "model_stream.afx")
+    export_cli([
+        "-c", str(cfg_path), "-m", ckpt, "-o", art_path,
+        "--size", f"{H}x{W}", "--streaming",
+        "--platforms", jax.default_backend(),
+    ])
+    out_dir2 = tmp_path / "out_art"
+    stream_cli([
+        "--artifact", art_path,
+        "--frames", str(frames_dir), "--out", str(out_dir2),
+    ])
+    assert len(list(out_dir2.glob("*.flo"))) == 2

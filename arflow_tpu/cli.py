@@ -417,7 +417,8 @@ def stream_cli(argv=None):
                         help="HxW inference size (default: native frame "
                              "size; artifacts use their exported size)")
     parser.add_argument("--bw", action="store_true",
-                        help="also compute backward flow (not written)")
+                        help="also compute backward flow (written as "
+                             "<stem>_bw.flo)")
     args = parser.parse_args(argv)
 
     import glob as _glob

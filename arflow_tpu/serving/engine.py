@@ -256,6 +256,9 @@ def run_stream(
         os.makedirs(out_root, exist_ok=True)
         stem = os.path.splitext(os.path.basename(path))[0]
         write_flo(os.path.join(out_root, stem + ".flo"), flow)
+        if "flow_bw" in out:
+            write_flo(os.path.join(out_root, stem + "_bw.flo"),
+                      np.asarray(out["flow_bw"])[0])
 
     def _sync(out):
         # Data-dependent scalar fetch: device execution is in-order, so a

@@ -354,7 +354,7 @@ def test_run_stream_writes_flo(tmp_path, rng):
         img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
         Image.fromarray(img).save(frames_dir / f"frame_{i:03d}.png")
 
-    engine = StreamingFlowEngine(model_cfg, variables)
+    engine = StreamingFlowEngine(model_cfg, variables, with_bw=True)
     out_dir = tmp_path / "flo"
     paths = sorted(str(p) for p in frames_dir.glob("*.png"))
     stats = run_stream(engine, paths, size_hw=(H, W), out_root=str(out_dir),
@@ -362,7 +362,9 @@ def test_run_stream_writes_flo(tmp_path, rng):
     assert stats["frames"] == 4 and stats["flows"] == 3
     flos = sorted(out_dir.glob("*.flo"))
     assert [p.name for p in flos] == [
-        "frame_001.flo", "frame_002.flo", "frame_003.flo"
+        "frame_001.flo", "frame_001_bw.flo",
+        "frame_002.flo", "frame_002_bw.flo",
+        "frame_003.flo", "frame_003_bw.flo",
     ]
     flow = read_flo(str(flos[0]))
     assert flow.shape == (H, W, 2) and np.isfinite(flow).all()

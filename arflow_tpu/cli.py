@@ -64,11 +64,15 @@ def train_main(cfg, log):
     from arflow_tpu.models import get_model
     from arflow_tpu.training import get_trainer
 
-    if cfg.model.get("dtype") == "int8":
+    if cfg.model.get("dtype") == "int8" or os.environ.get(
+        "ARFLOW_INT8_PYRAMID"
+    ) == "1":
         raise ValueError(
-            "model.dtype 'int8' is a serving-only mode (the quantization "
-            "round has zero gradient); train with 'bfloat16' and switch "
-            "the inference/serving config to 'int8'."
+            "int8 pyramid (model.dtype 'int8' / ARFLOW_INT8_PYRAMID=1) is a "
+            "serving-only mode: the quantization round has zero gradient, "
+            "so the feature pyramid would silently receive no training. "
+            "Train with 'bfloat16' and switch the inference/serving config "
+            "to 'int8'."
         )
     seed_everything(cfg.seed)
     train_loader, valid_loader = build_loaders(cfg, log)
@@ -458,6 +462,7 @@ def stream_cli(argv=None):
 
     if args.artifact is not None:
         engine = load_streaming_artifact(args.artifact)
+        engine.with_bw = args.bw
         # The exported programs have static shapes: resize to them.
         size_hw = (engine.meta["height"], engine.meta["width"])
     else:

@@ -24,21 +24,28 @@ def _parse_dtype(name):
     compute with f32 params and f32 outputs (TPU mixed precision); 'int8' ->
     bf16 compute plus dynamically-quantized int8 feature-pyramid convs
     (SERVING-ONLY — the quantization round has zero gradient; trainers
-    reject it). The int8 path is the trace-time ARFLOW_INT8_PYRAMID gate
-    (models/layers.py), enabled here for the process unless the env
-    explicitly overrides it."""
+    reject it). int8 is a PER-INSTANCE module attribute (``int8_pyramid``),
+    never process state: other models built in the same process are
+    unaffected."""
     if name in (None, "float32", "f32"):
         return None
     import jax.numpy as jnp
 
-    if name in ("bfloat16", "bf16"):
-        return jnp.bfloat16
-    if name == "int8":
-        import os
-
-        os.environ.setdefault("ARFLOW_INT8_PYRAMID", "1")
+    if name in ("bfloat16", "bf16", "int8"):
         return jnp.bfloat16
     raise NotImplementedError(f"model dtype {name}")
+
+
+def _int8(cfg, supported=True):
+    if cfg.get("dtype") != "int8":
+        return False
+    if not supported:
+        raise NotImplementedError(
+            "model.dtype 'int8' quantizes the uflow-family feature pyramid "
+            f"(Conv2dNPad); the '{cfg.type}' family has no int8 path "
+            "(measured to lose to bf16 at its conv shapes, BASELINE.md)."
+        )
+    return True
 
 
 def _normalize_out_channels(oc):
@@ -57,6 +64,7 @@ def get_model(cfg):
             level_dropout=cfg.get("level_dropout", 0.0),
             feature_norm=cfg.get("feature_norm", True),
             dtype=_parse_dtype(cfg.get("dtype")),
+            int8_pyramid=_int8(cfg),
         )
     if cfg.type == "uflow_prob":
         return PWCProbFlow(
@@ -67,6 +75,7 @@ def get_model(cfg):
             n_pyramids=cfg.get("n_pyramids", 1),
             mixture_weights=cfg.get("mixture_weights", False),
             dtype=_parse_dtype(cfg.get("dtype")),
+            int8_pyramid=_int8(cfg),
         )
     if cfg.type == "component":
         return ComponentNet(
@@ -77,8 +86,10 @@ def get_model(cfg):
             n_pyramids=cfg.get("n_pyramids", 1),
             mixture_weights=cfg.get("mixture_weights", False),
             dtype=_parse_dtype(cfg.get("dtype")),
+            int8_pyramid=_int8(cfg),
         )
     if cfg.type == "pwclite":
+        _int8(cfg, supported=False)
         return PWCLite(
             n_frames=cfg.n_frames,
             upsample=cfg.get("upsample", True),
@@ -86,6 +97,7 @@ def get_model(cfg):
             dtype=_parse_dtype(cfg.get("dtype")),
         )
     if cfg.type == "pwclite_prob":
+        _int8(cfg, supported=False)
         return PWCLiteProb(
             n_frames=cfg.n_frames,
             upsample=cfg.get("upsample", True),
@@ -93,6 +105,7 @@ def get_model(cfg):
             dtype=_parse_dtype(cfg.get("dtype")),
         )
     if cfg.type == "pwclite_uflow":
+        _int8(cfg, supported=False)
         return PWCLiteUflow(
             n_frames=cfg.n_frames,
             reduce_dense=cfg.get("reduce_dense", True),

@@ -71,9 +71,12 @@ def conv_npad_enabled(default: bool = False) -> bool:
 
 
 def int8_pyramid_enabled(default: bool = False) -> bool:
-    """Trace-time gate for int8 feature-pyramid convs
-    (``ARFLOW_INT8_PYRAMID=0/1`` force-overrides). SERVING-ONLY: the
-    quantization round has zero gradient, so training must keep it off.
+    """Trace-time gate for int8 feature-pyramid convs. ``default`` comes
+    from the owning module's ``int8`` attribute (set per-instance by
+    ``model.dtype: "int8"`` — never process-global state);
+    ``ARFLOW_INT8_PYRAMID=0/1`` is an explicit force-override for A/B runs.
+    SERVING-ONLY: the quantization round has zero gradient, so training
+    must keep it off (trainers reject both the config and the env form).
 
     Measured (benchmarks/bench_int8_conv_probe.py, TPU v5e, chained): the
     MXU runs int8 at ~2x the bf16 rate, and XLA lowers int8
@@ -132,6 +135,7 @@ class Conv2dNPad(nn.Module):
     dtype: object = None  # compute dtype; params stay float32
     pad_to: int = 64
     gate_default: bool = False
+    int8: bool = False  # serving-only quantized path (see int8_pyramid_enabled)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -147,7 +151,7 @@ class Conv2dNPad(nn.Module):
         )
         dt = self.dtype if self.dtype is not None else x.dtype
         pad = (k - 1) // 2
-        if int8_pyramid_enabled(default=False):
+        if int8_pyramid_enabled(default=self.int8):
             return quantized_conv2d(kernel=kernel, bias=bias, x=x,
                                     stride=s, pad=pad).astype(dt)
         use_pad = (

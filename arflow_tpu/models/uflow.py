@@ -53,6 +53,7 @@ class PWCFeaturePyramid(nn.Module):
     filters: Sequence[tuple] = ((3, 32), (3, 32), (3, 32), (3, 32), (3, 32))
     leaky_relu_alpha: float = _LEAKY_ALPHA
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params f32
+    int8: bool = False  # serving-only quantized convs (model.dtype "int8")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list:
@@ -76,6 +77,7 @@ class PWCFeaturePyramid(nn.Module):
                     kernel_init=xavier_uniform,
                     dtype=self.dtype,
                     gate_default=False,
+                    int8=self.int8,
                 )(x)
                 x = leaky_relu(x, self.leaky_relu_alpha)
             features.append(x)
@@ -93,6 +95,7 @@ class PWCFlow(nn.Module):
     accumulate_flow: bool = True
     use_feature_warp: bool = True
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
+    int8_pyramid: bool = False  # serving-only (model.dtype "int8")
     flow_decoder_filters: Sequence[int] = (128, 128, 96, 64, 32)
     refinement_filters: Sequence[tuple] = (
         (128, 1),
@@ -105,7 +108,7 @@ class PWCFlow(nn.Module):
 
     def setup(self):
         self.feature_pyramid = PWCFeaturePyramid(
-            name="feature_pyramid", dtype=self.dtype
+            name="feature_pyramid", dtype=self.dtype, int8=self.int8_pyramid
         )
 
         # Per-level dense-net flow decoders (uflow_model.py:288-323); levels

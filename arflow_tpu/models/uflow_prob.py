@@ -69,6 +69,7 @@ class PWCProbFlow(nn.Module):
     n_pyramids: int = 1
     mixture_weights: bool = False
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); outputs are f32
+    int8_pyramid: bool = False  # serving-only (model.dtype "int8")
     num_levels: int = 5
     num_context_up_channels: int = 32
     max_displacement: int = 4
@@ -88,7 +89,8 @@ class PWCProbFlow(nn.Module):
 
     def setup(self):
         self.pyramids = [
-            PWCFeaturePyramid(name=f"feature_pyramid_{k}", dtype=self.dtype)
+            PWCFeaturePyramid(name=f"feature_pyramid_{k}", dtype=self.dtype,
+                              int8=self.int8_pyramid)
             for k in range(self.n_pyramids)
         ]
         flow_layers = {}
@@ -379,6 +381,7 @@ class ComponentNet(nn.Module):
     n_pyramids: int = 1
     mixture_weights: bool = False
     dtype: object = None  # compute dtype for both component nets
+    int8_pyramid: bool = False  # serving-only (model.dtype "int8")
 
     def setup(self):
         kwargs = dict(
@@ -389,6 +392,7 @@ class ComponentNet(nn.Module):
             n_pyramids=1,
             mixture_weights=False,
             dtype=self.dtype,
+            int8_pyramid=self.int8_pyramid,
         )
         self.pwcnet1 = PWCProbFlow(name="pwcnet1", **kwargs)
         self.pwcnet2 = PWCProbFlow(name="pwcnet2", **kwargs)

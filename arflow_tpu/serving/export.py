@@ -231,13 +231,17 @@ class StreamingArtifact:
 
     ``push(frame)`` mirrors engine.push: None until the pyramid window is
     full, then {'flow' [, 'flow_bw', 'entropy']}. 2-frame: flow = prev->cur
-    (+ per-approximation entropy when exported from a probabilistic config).
-    3-frame: flow = (t-1)->t, flow_bw = (t-1)->(t-2).
+    (+ per-approximation entropy when exported from a probabilistic config);
+    with ``with_bw`` the decoder program runs a second time on swapped
+    pyramids — no extra export needed. 3-frame: flow = (t-1)->t and, with
+    ``with_bw``, flow_bw = (t-1)->(t-2) (the fused pass computes it either
+    way). Frames must carry the exported batch size (static shapes).
     """
 
     meta: dict
     pyramid: object
     decode: object
+    with_bw: bool = False
     _prev: list = None
     _pyr_call: object = None
     _dec_call: object = None
@@ -256,6 +260,14 @@ class StreamingArtifact:
         frame = jnp.asarray(frame, jnp.float32)
         if frame.ndim == 3:
             frame = frame[None]
+        want = (int(self.meta["batch"]), int(self.meta["height"]),
+                int(self.meta["width"]), 3)
+        if tuple(frame.shape) != want:
+            raise ValueError(
+                f"streaming artifact exported for frames {want}, got "
+                f"{tuple(frame.shape)} (jax.export programs have static "
+                "shapes; resize/re-batch the stream or re-export)"
+            )
         fp = self._pyr_call(frame)
         window = int(self.meta.get("window", 2))
         prev = self._prev
@@ -264,9 +276,14 @@ class StreamingArtifact:
             return None
         if window == 3:
             flow, flow_bw = self._dec_call(prev[0], prev[1], fp)
-            return {"flow": flow, "flow_bw": flow_bw}
+            out = {"flow": flow}
+            if self.with_bw:
+                out["flow_bw"] = flow_bw
+            return out
         flow, ent = self._dec_call(prev[0], fp)
         out = {"flow": flow}
+        if self.with_bw:
+            out["flow_bw"] = self._dec_call(fp, prev[0])[0]
         if self.meta.get("has_entropy"):
             out["entropy"] = ent
         return out

@@ -91,31 +91,72 @@ def test_conv2dnpad_gate_dispatch(rng, monkeypatch):
 
 
 def test_dtype_int8_config(monkeypatch):
-    """model.dtype 'int8' = bf16 compute + the int8 pyramid gate; trainers
-    reject it (serving-only)."""
+    """model.dtype 'int8' = bf16 compute + a PER-INSTANCE int8_pyramid
+    attribute — never process state: no env mutation, and other models
+    built afterwards in the same process are unaffected."""
+    import os
+
     from arflow_tpu.config import Config
     from arflow_tpu.models import get_model
 
     monkeypatch.delenv("ARFLOW_INT8_PYRAMID", raising=False)
     m = get_model(Config({"type": "uflow", "dtype": "int8"}))
-    assert m.dtype == jnp.bfloat16
-    import os
+    assert m.dtype == jnp.bfloat16 and m.int8_pyramid
+    assert "ARFLOW_INT8_PYRAMID" not in os.environ  # no process leak
+    m2 = get_model(Config({"type": "uflow", "dtype": "bfloat16"}))
+    assert not m2.int8_pyramid
+    prob = get_model(Config({"type": "uflow_prob", "dtype": "int8",
+                             "out_channels": [2, 2, 0]}))
+    assert prob.int8_pyramid
+    with pytest.raises(NotImplementedError, match="no int8 path"):
+        get_model(Config({"type": "pwclite", "n_frames": 2,
+                          "dtype": "int8"}))
 
-    assert os.environ.get("ARFLOW_INT8_PYRAMID") == "1"
+
+def test_int8_attribute_is_per_instance(rng, monkeypatch):
+    """An int8 model and an exact model coexist in one process: the exact
+    one stays bit-identical to a process that never built an int8 model."""
+    from arflow_tpu.models.uflow import PWCFlow
+
+    monkeypatch.delenv("ARFLOW_INT8_PYRAMID", raising=False)
+    img1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    exact = PWCFlow()
+    v = jax.jit(lambda r: exact.init(r, img1, img2, with_bk=False))(
+        jax.random.PRNGKey(0)
+    )
+    baseline = np.asarray(
+        exact.apply(v, img1, img2, with_bk=False)["flows_fw"][0]
+    )
+    quant = PWCFlow(int8_pyramid=True)
+    _ = quant.apply(v, img1, img2, with_bk=False)  # traces the int8 path
+    again = np.asarray(
+        exact.apply(v, img1, img2, with_bk=False)["flows_fw"][0]
+    )
+    np.testing.assert_array_equal(baseline, again)
 
 
-def test_train_rejects_int8(tmp_path, monkeypatch):
-    from arflow_tpu.cli import train_main
+def _train_cfg(tmp_path, model):
     from arflow_tpu.config import Config
 
-    cfg = Config({
-        "model": {"type": "uflow", "dtype": "int8"},
+    return Config({
+        "model": model,
         "loss": {"type": "uflow"}, "trainer": "uflow", "seed": 0,
         "data": [], "save_root": str(tmp_path),
         "train": {"epoch_size": 1, "valid_size": 0, "batch_size": 1},
     })
+
+
+def test_train_rejects_int8(tmp_path, monkeypatch):
+    from arflow_tpu.cli import train_main
+
     with pytest.raises(ValueError, match="serving-only"):
-        train_main(cfg, None)
+        train_main(_train_cfg(tmp_path, {"type": "uflow", "dtype": "int8"}),
+                   None)
+    # the env force-override form is rejected too (zero-gradient pyramid)
+    monkeypatch.setenv("ARFLOW_INT8_PYRAMID", "1")
+    with pytest.raises(ValueError, match="serving-only"):
+        train_main(_train_cfg(tmp_path, {"type": "uflow"}), None)
 
 
 def test_uflow_forward_int8_pyramid(rng, monkeypatch):

@@ -237,18 +237,24 @@ def test_streaming_export_roundtrip(tmp_path, rng):
 
     art = load_streaming_artifact(path)
     assert art.meta["window"] == 2 and art.meta["format"] == 2
+    art.with_bw = True
 
-    engine = StreamingFlowEngine(model_cfg, variables)
+    engine = StreamingFlowEngine(model_cfg, variables, with_bw=True)
     frames = _frames(rng, 3)
     assert art.push(frames[0]) is None
     assert engine.push(frames[0]) is None
     for f in frames[1:]:
         out_art = art.push(f)
         out_eng = engine.push(f)
-        np.testing.assert_allclose(
-            np.asarray(out_art["flow"]), np.asarray(out_eng["flow"]),
-            atol=1e-5, rtol=1e-5,
-        )
+        for key in ("flow", "flow_bw"):
+            np.testing.assert_allclose(
+                np.asarray(out_art[key]), np.asarray(out_eng[key]),
+                atol=1e-5, rtol=1e-5,
+            )
+
+    # static shapes: a wrong-sized frame is a clear error, not a crash
+    with pytest.raises(ValueError, match="static shapes"):
+        art.push(np.zeros((1, H * 2, W, 3), np.float32))
 
     # monolithic loader rejects the format-2 file with a clear error
     with pytest.raises(ValueError, match="streaming"):
@@ -280,6 +286,7 @@ def test_streaming_export_3frame(tmp_path, rng):
     save_streaming_artifact(path, exported, meta)
     art = load_streaming_artifact(path)
     assert art.meta["window"] == 3
+    art.with_bw = True
 
     engine = StreamingFlowEngine(model_cfg, variables, with_bw=True)
     frames = [rng.rand(1, h, w, 3).astype(np.float32) for _ in range(3)]

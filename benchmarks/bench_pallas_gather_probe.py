@@ -22,11 +22,11 @@ Why this does NOT help the warp: bilinear flow-warp is an arbitrary 2-D
 gather. Lane-gather can only index within one sublane row, so a warp would
 need a sublane (cross-row) gather — which does not lower (finding 2) — or
 a quadratic one-hot matmul (already used where it wins: the range-map
-splat, ops/occlusion.py). Per-element rates seal it anyway: the packed
-4C-lane XLA warp gather moves 12 f32 per 7 ns descriptor ~= 0.6 ns/element,
-20x faster than Mosaic's elementwise lane gather. The warp stays on XLA's
-packed gather (reference cost center: utils/warp_utils.py flow_warp;
-our ops/warp.py:bilinear_gather).
+splat, arflow_tpu/ops/occlusion.py). Per-element rates seal it anyway: the
+packed 4C-lane XLA warp gather moves 12 f32 per 7 ns descriptor
+~= 0.6 ns/element, 20x faster than Mosaic's elementwise lane gather. The
+warp stays on XLA's packed gather (reference cost center:
+utils/warp_utils.py flow_warp; our arflow_tpu/ops/warp.py:bilinear_gather).
 
 Run ALONE on the TPU host:
     PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/bench_pallas_gather_probe.py
@@ -80,9 +80,12 @@ def main():
         try:
             fn = jax.jit(pl.pallas_call(kern, out_shape=out_shape))
             out = np.asarray(fn(src, idx))
-            ref = np.take_along_axis(
-                np.asarray(src), np.asarray(idx), axis=axis
-            )
+            if idx.ndim == 1:  # jnp.take semantics, not take_along_axis
+                ref = np.take(np.asarray(src), np.asarray(idx), axis=axis)
+            else:
+                ref = np.take_along_axis(
+                    np.asarray(src), np.asarray(idx), axis=axis
+                )
             print(name, "-> OK parity=", bool(np.allclose(out, ref)))
         except Exception as e:  # noqa: BLE001 - probe records the failure
             print(name, "-> FAIL:", str(e).split("\n")[0][:200])
@@ -94,12 +97,29 @@ def main():
         def run(src, idx):
             def body(c, _):
                 o = fn(src, (idx + c.astype(jnp.int32)) % LANES)
-                return c + o[0, 0] * 1e-30, None
+                # Full-sum carry: every output element is consumed, so XLA
+                # cannot legally narrow the gather (bench_matmul_probe.py
+                # convention; a single-element carry would let the XLA arm
+                # fold to one gathered element while Pallas does full work).
+                return c + jnp.sum(o) * 1e-20, None
 
             r, _ = lax.scan(body, jnp.float32(0), None, length=CHAIN)
             return r
 
         return jax.jit(run)
+
+    # RTT floor: a trivial jitted scalar fetch, subtracted from every timed
+    # run (bench_matmul_probe.py convention) so tunnel dispatch/fetch latency
+    # does not inflate the per-call figures.
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(jnp.float32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(json.dumps({"rtt_ms": rtt * 1e3}))
 
     for label, fn in [
         ("pallas_lane_gather", lane_call),
@@ -112,7 +132,7 @@ def main():
             t0 = time.perf_counter()
             float(f(src, idx_lane))
             ts.append(time.perf_counter() - t0)
-        per = float(np.median(ts)) / CHAIN
+        per = max(float(np.median(ts)) - rtt, 0.0) / CHAIN
         print(
             json.dumps(
                 {

@@ -110,6 +110,11 @@ def train_cli(argv=None):
     parser.add_argument("-c", "--config", default="configs/sintel_uflow.json")
     parser.add_argument("-e", "--evaluate", action="store_true")
     parser.add_argument("-m", "--model", default=None)
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint to resume mid-run from (restores "
+                             "params, optimizer state, epoch/iter counters "
+                             "and best-error; continues bit-identically to "
+                             "an unbroken run)")
     parser.add_argument("--n_gpu", type=int, default=None,
                         help="kept for CLI parity; device count comes from JAX")
     # Multi-host launch (one process per host; SURVEY §2.3 DCN axis). After
@@ -145,6 +150,8 @@ def train_cli(argv=None):
         )
     if args.model is not None:
         cfg.train.pretrained_model = args.model
+    if args.resume is not None:
+        cfg.train.resume = args.resume
 
     curr_time = datetime.datetime.now().strftime("%y%m%d%H%M%S")
     cfg.save_root = os.path.join(

@@ -38,7 +38,17 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.prefetch = prefetch
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order for the next iteration to ``epoch``.
+
+        Shuffling is a pure function of (seed, epoch) — not of how many
+        epochs this loader object has served — so a resumed run reproduces
+        the unbroken run's batch order exactly (torch DistributedSampler
+        semantics). Trainers call this with ``i_epoch`` each epoch."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -49,7 +59,11 @@ class DataLoader:
     def _batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + self._epoch) % (2**31 - 1)
+            )
+            rng.shuffle(idx)
+            self._epoch += 1
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]

@@ -100,7 +100,7 @@ class MseTrainer(BaseTrainer):
         key_meters = AverageMeter(i=len(self.KEY_METERS), precision=4)
         timer = Timer()
 
-        self._maybe_stage1()
+        self._begin_epoch()
         profiling = self.maybe_profile()
 
         metric_keys = ("total", "l_mse", "entropy", "l_offdiag")

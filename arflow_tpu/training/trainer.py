@@ -126,8 +126,59 @@ class BaseTrainer:
             state["nan_skips"] = jnp.zeros((), jnp.int32)
         if self._has_batch_stats:
             state["batch_stats"] = batch_stats
+
+        if self.cfg.get("resume"):
+            state = self._restore_resume(state)
+
         self.state = replicate(self.mesh, state)
         self._train_step = self._build_train_step()
+
+    def _restore_counters(self):
+        """Eagerly read the epoch/iter/best-error counters from the resume
+        checkpoint (raw msgpack — no state template needed) so ``train``'s
+        loop bounds and the first epoch's ``set_epoch`` use the restored
+        epoch. The array state (params/opt_state) is restored later by
+        ``_restore_resume`` once the first batch fixes the tree structure."""
+        from arflow_tpu.training.checkpoint import load_checkpoint
+
+        raw = load_checkpoint(self.cfg.resume)
+        self.i_epoch = int(raw["epoch"])
+        self.i_iter = int(raw["i_iter"])
+        self.best_error = float(raw["best_error"])
+
+    def _restore_resume(self, state):
+        """Full mid-run resume from a checkpoint written by ``save_model``:
+        params, opt_state (moments + schedule count), epoch, iteration and
+        best-error counters — the resumed run continues bit-identically to
+        an unbroken one (tests/test_soak_convergence.py). The reference can
+        only warm-start params (trainer/base_trainer.py:59-71); resume here
+        goes beyond it (DIVERGENCES.md #15)."""
+        from arflow_tpu.training.checkpoint import load_checkpoint
+
+        path = self.cfg.resume
+        template = {
+            "epoch": np.asarray(0),
+            "i_iter": np.asarray(0),
+            "best_error": np.asarray(np.inf),
+            "params": state["params"],
+            "opt_state": state["opt_state"],
+            "step": state["step"],
+        }
+        if self._has_batch_stats:
+            template["batch_stats"] = state["batch_stats"]
+        restored = load_checkpoint(path, target=template)
+        self._log.info("=> resuming from %s (epoch %s, iter %s)", path,
+                       int(restored["epoch"]), int(restored["i_iter"]))
+        self.i_epoch = int(restored["epoch"])
+        self.i_iter = int(restored["i_iter"])
+        self.best_error = float(restored["best_error"])
+        state = dict(state)
+        state["params"] = restored["params"]
+        state["opt_state"] = restored["opt_state"]
+        state["step"] = jnp.asarray(restored["step"])
+        if self._has_batch_stats:
+            state["batch_stats"] = restored["batch_stats"]
+        return state
 
     def _build_train_step(self):
         raise NotImplementedError
@@ -141,7 +192,14 @@ class BaseTrainer:
     # -- main loop (base_trainer.py:42-55) ------------------------------------
 
     def train(self):
-        for _ in range(self.cfg.epoch_num):
+        # The full state restore is lazy (_ensure_init needs the first
+        # batch's shapes), but the epoch counter must be known BEFORE the
+        # loop bounds and the first set_epoch call — peek it eagerly.
+        if self.state is None and self.cfg.get("resume"):
+            self._restore_counters()
+        # range starts at i_epoch so a resumed run executes only the
+        # remaining epochs (i_epoch is 0 unless cfg.resume restored it).
+        for _ in range(self.i_epoch, self.cfg.epoch_num):
             self._run_one_epoch()
             if self.i_epoch % self.cfg.valid_freq == 0 and self.valid_loader:
                 errors, error_names = self._validate_with_gt()
@@ -193,8 +251,11 @@ class BaseTrainer:
             self.best_error = error
         state = {
             "epoch": np.asarray(self.i_epoch),
+            "i_iter": np.asarray(self.i_iter),
+            "best_error": np.asarray(self.best_error),
             "params": jax.device_get(self.state["params"]),
             "opt_state": jax.device_get(self.state["opt_state"]),
+            "step": jax.device_get(self.state["step"]),
         }
         if self._has_batch_stats:
             state["batch_stats"] = jax.device_get(self.state["batch_stats"])
@@ -225,12 +286,28 @@ class BaseTrainer:
             jax.profiler.stop_trace()
 
     def _maybe_stage1(self):
-        """Scheduled loss-config switch (trainer/uflow_trainer.py:26-28)."""
+        """Scheduled loss-config switch (trainer/uflow_trainer.py:26-28).
+
+        ``>=`` plus a fired-flag (not the reference's ``==``) so a run
+        resumed past the switch epoch still applies it — the reference's
+        in-object loss cfg would have been mutated before the kill."""
         if self.full_cfg is None or "stage1" not in self.full_cfg:
             return
-        if self.i_epoch == self.full_cfg.stage1.epoch:
+        if (
+            not getattr(self, "_stage1_fired", False)
+            and self.i_epoch >= self.full_cfg.stage1.epoch
+        ):
+            self._stage1_fired = True
             self.loss_func.cfg.update(self.full_cfg.stage1.loss)
             self._train_step = self._build_train_step()  # loss cfg is static
+
+    def _begin_epoch(self):
+        """Per-epoch bookkeeping shared by all trainers: pin the loader's
+        shuffle order to i_epoch (resume-deterministic) and apply any
+        scheduled stage1 loss switch."""
+        if hasattr(self.train_loader, "set_epoch"):
+            self.train_loader.set_epoch(self.i_epoch)
+        self._maybe_stage1()
 
     def _queue_step_metrics(self, metrics, metric_keys, batch_size, i_step,
                             key_meters, key_meter_names, am_batch_time,

@@ -101,7 +101,7 @@ class UFlowTrainer(BaseTrainer):
         key_meters = AverageMeter(i=len(self.KEY_METERS), precision=4)
         timer = Timer()
 
-        self._maybe_stage1()
+        self._begin_epoch()
         profiling = self.maybe_profile()
 
         metric_keys = ("total", "l_ph", "l_sm", "flow_mean")

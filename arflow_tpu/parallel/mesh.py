@@ -34,10 +34,16 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     """
     if coordinator_address is None and num_processes in (None, 1):
         return False
+    # Already-initialized check must NOT touch the backend:
+    # jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize() refuses to run (it must be the first
+    # backend-touching call in the process).
     try:
-        if jax.process_count() > 1:
+        from jax._src.distributed import global_state
+
+        if global_state.client is not None:
             return True  # already initialized
-    except Exception:
+    except ImportError:
         pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -97,18 +103,43 @@ def shard_batch(mesh: Mesh, batch, axis_name=None):
 
     Batch sizes must be divisible by the mesh size; callers pad or drop
     remainders (the trainer uses drop_last batching for training).
+
+    Multi-process (``jax.distributed``-initialized) meshes: each process
+    passes its HOST-LOCAL batch — the standard multi-host contract where
+    every host's loader yields its own shard — and the global batch is their
+    concatenation in process order (the global batch axis is
+    ``num_processes * local_batch``).
     """
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:
-            return jax.device_put(x, NamedSharding(mesh, P()))
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+            return _replicate_one(mesh, x)
+        sharding = batch_sharding(mesh, x.ndim, axis_name)
+        if not sharding.is_fully_addressable:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 
 
-def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated across the mesh."""
+def _replicate_one(mesh: Mesh, x):
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if not sharding.is_fully_addressable:
+        # Every process holds the full (identical) value; build the global
+        # replicated array from the local copies.
+        x = np.asarray(x)
+        return jax.make_array_from_single_device_arrays(
+            x.shape, sharding,
+            [jax.device_put(x, d) for d in sharding.addressable_devices],
+        )
+    return jax.device_put(x, sharding)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated across the mesh.
+
+    On multi-process meshes every process must pass the same values (the
+    trainer guarantees this: params come from a seeded init or a checkpoint).
+    """
+    return jax.tree_util.tree_map(lambda x: _replicate_one(mesh, x), tree)

@@ -42,8 +42,9 @@ def _assert_same(a, b):
 MODEL_CFGS = [
     ({"type": "pwclite", "n_frames": 2, "upsample": True,
       "reduce_dense": True}, 2),
-    ({"type": "pwclite", "n_frames": 5, "upsample": True,
-      "reduce_dense": True}, 5),
+    pytest.param(
+        {"type": "pwclite", "n_frames": 5, "upsample": True,
+         "reduce_dense": True}, 5, marks=pytest.mark.slow),
     ({"type": "pwclite_prob", "n_frames": 2, "upsample": True,
       "reduce_dense": True}, 2),
     ({"type": "pwclite_uflow", "n_frames": 2, "upsample": True,
@@ -56,9 +57,13 @@ MODEL_CFGS = [
 ]
 
 
+def _cfg_id(entry):
+    c, n = entry.values if hasattr(entry, "values") else entry
+    return c["type"] + (f"_{n}f" if n != 2 else "")
+
+
 @pytest.mark.parametrize(
-    "cfg,n_imgs", MODEL_CFGS,
-    ids=[c["type"] + (f"_{n}f" if n != 2 else "") for c, n in MODEL_CFGS],
+    "cfg,n_imgs", MODEL_CFGS, ids=[_cfg_id(e) for e in MODEL_CFGS],
 )
 def test_bidir_gate_modes_agree(rng, monkeypatch, cfg, n_imgs):
     model = get_model(Config(dict(cfg)))

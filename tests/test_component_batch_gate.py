@@ -46,8 +46,7 @@ def imgs(rng):
         jax.numpy.asarray(rng.rand(B, H, W, 3).astype(np.float32))
         for _ in range(2)
     ]
-
-
+@pytest.mark.slow
 def test_component_batch_equivalence_k2(monkeypatch, imgs):
     model = get_model(Config({
         "type": "uflow_prob", "out_channels": [2, 2, 0], "inv_cov": False,

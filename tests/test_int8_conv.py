@@ -111,8 +111,7 @@ def test_dtype_int8_config(monkeypatch):
     with pytest.raises(NotImplementedError, match="no int8 path"):
         get_model(Config({"type": "pwclite", "n_frames": 2,
                           "dtype": "int8"}))
-
-
+@pytest.mark.slow
 def test_int8_attribute_is_per_instance(rng, monkeypatch):
     """An int8 model and an exact model coexist in one process: the exact
     one stays bit-identical to a process that never built an int8 model."""

@@ -1,6 +1,7 @@
 """Mixed-precision (bf16 compute / f32 params) model path."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -58,8 +59,7 @@ def test_pwclite_bf16_matches_f32_closely(rng):
         scale = float(jnp.mean(jnp.abs(o32[key][0]))) + 1e-6
         rel = float(jnp.mean(jnp.abs(o32[key][0] - o16[key][0]))) / scale
         assert rel < 0.05, f"bf16 {key} deviates too much: {rel}"
-
-
+@pytest.mark.slow
 def test_pwclite_prob_and_uflow_bf16(rng):
     for base in (
         {"type": "pwclite_prob", "n_frames": 2, "upsample": True,

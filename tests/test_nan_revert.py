@@ -111,8 +111,7 @@ def test_flush_warns_instead_of_raising(tmp_path, caplog):
 def test_flush_still_raises_by_default(tmp_path):
     with pytest.raises(FloatingPointError, match="at iter 1 "):
         _flush_harness(tmp_path, nan_revert=False)
-
-
+@pytest.mark.slow
 def test_uflow_trainer_survives_poisoned_batch(tmp_path, rng):
     """Full-trainer wiring: a batch of NaN images produces a non-finite loss;
     with nan_revert the epoch completes, the step is counted in nan_skips and

@@ -59,8 +59,7 @@ def _run_one_step(tmp_path, rng_data, remat: bool):
     trainer._run_one_epoch()
     jax.block_until_ready(trainer.state["params"])
     return jax.tree_util.tree_map(np.asarray, trainer.state["params"])
-
-
+@pytest.mark.slow
 def test_remat_grads_match(rng):
     """Direct check: jax.checkpoint around the forward leaves gradients
     within float-reassociation noise of the plain program."""
@@ -105,8 +104,7 @@ def test_remat_grads_match(rng):
         # (measured max ~1.3%); the aggregate bound above is the
         # meaningful one.
         assert max_dev < 5e-2, max_dev
-
-
+@pytest.mark.slow
 def test_remat_trainer_step_matches(tmp_path):
     """Through the real trainer step builders: params after one Adam step
     agree up to Adam's amplification of float-reassociation noise

@@ -96,6 +96,7 @@ def test_export_entropy_signature(tmp_path, rng):
     assert np.isfinite(np.asarray(ent)).all() and np.asarray(ent).any()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mtype", ["uflow", "pwclite"])
 def test_streaming_engine_matches_monolithic(rng, mtype):
     model_cfg = Config(
@@ -135,8 +136,7 @@ def test_streaming_engine_matches_monolithic(rng, mtype):
     # reset() drops the cached pyramid: next push returns None again.
     engine.reset()
     assert engine.push(frames[0]) is None
-
-
+@pytest.mark.slow
 def test_streaming_engine_prob_entropy(rng):
     from tests.test_models_prob import prob_cfg
 
@@ -165,8 +165,7 @@ def test_streaming_engine_prob_entropy(rng):
         np.asarray(out["entropy"]), np.asarray(ref[..., 2:4]), atol=1e-4,
         rtol=0,
     )
-
-
+@pytest.mark.slow
 def test_streaming_engine_3frame_matches_monolithic(rng):
     """The 3-frame PWCLite streams with ONE pyramid per frame; outputs match
     the monolithic model(img0, img1, img2) windows (which recompute every
@@ -261,8 +260,7 @@ def test_streaming_export_roundtrip(tmp_path, rng):
         from arflow_tpu.serving import load_artifact
 
         load_artifact(path)
-
-
+@pytest.mark.slow
 def test_streaming_export_3frame(tmp_path, rng):
     from arflow_tpu.serving import (
         export_streaming,

@@ -68,8 +68,7 @@ def test_spatial_forward_matches_single_device(model_and_inputs):
     # on all 8 devices and its value matches the single-device forward.
     assert len(out.devices()) == 8
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
-
-
+@pytest.mark.slow
 def test_spatial_train_grads_match_single_device(model_and_inputs):
     """The full train objective (fwd+bw flows, census+smooth loss, grads)
     partitions under the spatial mesh: gradients match single-device."""

@@ -16,8 +16,7 @@ from arflow_tpu.data.loader import DataLoader, InMemoryDataset
 from arflow_tpu.losses import get_loss
 from arflow_tpu.models import get_model
 from arflow_tpu.training import get_trainer
-
-
+@pytest.mark.slow
 def test_stage1_loss_switch(tmp_path, rng):
     if len(jax.devices()) != 8:
         pytest.skip("needs the virtual 8-device CPU mesh")

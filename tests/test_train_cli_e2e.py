@@ -13,8 +13,7 @@ from arflow_tpu.config import Config
 from arflow_tpu.cli import train_main
 from arflow_tpu.utils.logger import init_logger
 from tests.test_inference_e2e import make_chairs_dir
-
-
+@pytest.mark.slow
 def test_train_main_e2e(tmp_path, rng):
     if len(jax.devices()) != 8:
         pytest.skip("needs the virtual 8-device CPU mesh")

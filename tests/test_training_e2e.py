@@ -121,8 +121,7 @@ def test_uflow_trainer_e2e(tmp_path, rng):
         restored,
         orig,
     )
-
-
+@pytest.mark.slow
 def test_uflow_trainer_device_aug_e2e(tmp_path, rng):
     """Photometric aug flagged "device": true runs inside the jitted train
     step; the loader ships no _ph copies and training still converges/steps."""
@@ -158,8 +157,7 @@ def test_uflow_trainer_device_aug_e2e(tmp_path, rng):
     trainer.train()
     assert trainer.i_iter >= 2
     assert trainer.best_error < np.inf
-
-
+@pytest.mark.slow
 def test_sharded_validation_matches_batch1(tmp_path, rng):
     """Validation shards batched eval over the mesh (padding the remainder);
     EPE must match the batch-1 reference numerics to float noise."""
@@ -188,8 +186,7 @@ def test_sharded_validation_matches_batch1(tmp_path, rng):
     errs5, names5 = t5._validate_with_gt()
     assert names1 == names5
     np.testing.assert_allclose(errs1, errs5, rtol=1e-4, atol=1e-5)
-
-
+@pytest.mark.slow
 def test_mse_supervised_trainer_e2e(tmp_path, rng):
     """Supervised path end-to-end: GT flow in the train stream, MseLoss
     (nondiag inv_cov, the chairs_uflow_mse.json parametrization), EPE
@@ -238,8 +235,7 @@ def test_mse_supervised_trainer_e2e(tmp_path, rng):
     assert trainer.i_iter >= 2
     assert trainer.best_error < np.inf
     assert list(tmp_path.glob("Chairs_*")), "no checkpoint written"
-
-
+@pytest.mark.slow
 def test_uflow_elbo_trainer_e2e(tmp_path, rng):
     cfg = make_cfg(
         "uflow_elbo",
@@ -278,8 +274,7 @@ def test_uflow_elbo_trainer_e2e(tmp_path, rng):
     trainer = run_trainer(cfg, tmp_path, rng)
     assert trainer.i_iter >= 2
     assert trainer.best_error < np.inf
-
-
+@pytest.mark.slow
 def test_uflow_elbo_mixture_trainer_e2e(tmp_path, rng):
     """Mixture posterior (n_components=2, MixtureWeightsNet): per-component
     prediction images with the predicted weight drawn on land in the summary
@@ -327,8 +322,7 @@ def test_uflow_elbo_mixture_trainer_e2e(tmp_path, rng):
     # one flow image per mixture component, for each validation sample
     assert any(t.startswith("Valid/pred_0_0/") for t in image_tags), image_tags
     assert any(t.startswith("Valid/pred_0_1/") for t in image_tags), image_tags
-
-
+@pytest.mark.slow
 def test_uflow_elbo_sparse_trainer_e2e(tmp_path, rng):
     """Sparse-triangular posterior: exercises matrix_vector_product_general
     inside the jitted train step (configs/chairs_uflow_elbo_nondiag.json)."""

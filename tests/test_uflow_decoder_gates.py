@@ -55,8 +55,7 @@ def _assert_same(a, b, atol=1e-4, rtol=1e-4):
     assert len(la) == len(lb) and len(la) > 0
     for x, y in zip(la, lb):
         np.testing.assert_allclose(x, y, atol=atol, rtol=rtol)
-
-
+@pytest.mark.slow
 def test_decoder_gate_equivalence(monkeypatch, imgs):
     model = _uflow_model()
     ref, vref = _run(monkeypatch, model, "0", "0", imgs)
@@ -69,8 +68,7 @@ def test_decoder_gate_equivalence(monkeypatch, imgs):
         assert (jax.tree_util.tree_structure(vref)
                 == jax.tree_util.tree_structure(v))
         _assert_same(vref, v, atol=0)
-
-
+@pytest.mark.slow
 def test_decoder_gate_equivalence_grad(monkeypatch, imgs):
     """Gradients agree too (the split path sums f32 partials; the VJP
     slices the cotangent back per chunk)."""

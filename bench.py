@@ -151,6 +151,14 @@ def main():
         for k, v in entry.items():
             extra[f"{mode}_{k}"] = v
 
+    # ---- training throughput (round-4: driver-verifiable train numbers) ----
+    # Chained full train steps (fwd+bwd both directions, loss, Adam update,
+    # state carried through the scan) at the BASELINE.md train-step shapes:
+    # uflow b8 256x448 (f32 + bf16-compute) and sparse-ELBO b4 (cov_supp=3,
+    # n_samples=4).
+    for key, entry in _bench_training(jax, jnp, lax, rtt, timed).items():
+        extra[key] = entry
+
     print(
         json.dumps(
             {
@@ -162,6 +170,109 @@ def main():
             }
         )
     )
+
+
+def _bench_training(jax, jnp, lax, rtt, timed):
+    """Chained train-step throughput for the quotable training rows."""
+    import optax
+
+    from arflow_tpu.config import Config
+    from arflow_tpu.losses import get_loss
+    from arflow_tpu.models import get_model
+
+    chain_n = 20
+    rng = np.random.RandomState(1)
+    b, h, w = 8, 256, 448
+    img1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    tx = optax.adam(1e-4)
+
+    uflow_loss = get_loss(Config({
+        "type": "uflow", "w_census": 1.0, "w_smooth": 4.0,
+        "smooth_order": 1, "edge_constant": 150.0, "with_bk": True,
+    }))
+
+    def train_chain(model, loss, p0, o0, a, bimg, with_rng=False):
+        @jax.jit
+        def chain(p, o, x, y, k):
+            def body(carry, kk):
+                p, o = carry
+
+                def lf(pp):
+                    res = model.apply({"params": pp}, x, y, with_bk=True)
+                    if with_rng:
+                        return loss(res, x, y, rng=kk)["total"]
+                    return loss(res, x, y)["total"]
+
+                _, g = jax.value_and_grad(lf)(p)
+                u, o2 = tx.update(g, o, p)
+                return (optax.apply_updates(p, u), o2), None
+
+            keys = jax.random.split(k, chain_n)
+            (p2, _), _ = lax.scan(body, (p, o), keys)
+            # Full-tree consumption: summing a single leaf lets XLA fold the
+            # whole chain away when that leaf is graph-disconnected (its
+            # update is constant zero) — measured as ~0 ms/step. Same class
+            # as the round-3 gather-probe carry bug (ADVICE.md).
+            return sum(
+                jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(p2)
+            )
+
+        total, ts = timed(chain, p0, o0, a, bimg, jax.random.PRNGKey(2))
+        dt = max(total - rtt, 1e-6) / chain_n
+        spread = float((ts.max() - ts.min()) / np.median(ts))
+        return dt, spread
+
+    out = {}
+    for mode, mcfg in (
+        ("f32", {}),
+        ("bf16", {"dtype": "bf16"}),
+    ):
+        model = get_model(Config({"type": "uflow", "feature_norm": True,
+                                  "level_dropout": 0.0, **mcfg}))
+        variables = jax.jit(
+            lambda r, _m=model: _m.init(r, img1, img2, with_bk=True)
+        )(jax.random.PRNGKey(0))
+        params = variables["params"]
+        dt, spread = train_chain(model, uflow_loss, params, tx.init(params),
+                                 img1, img2)
+        out[f"train_uflow_{mode}_samples_per_sec"] = round(b / dt, 1)
+        out[f"train_uflow_{mode}_ms_per_step"] = round(dt * 1e3, 2)
+        out[f"train_uflow_{mode}_spread_pct"] = round(100.0 * spread, 2)
+
+    # sparse-ELBO b4 (the probabilistic training headline; the reference's
+    # CUDA path cannot run on this host — BASELINE.md train-step table).
+    b2 = 4
+    cov_supp = 3
+    n_off = (cov_supp + 1) ** 2 - 1
+    e_model = get_model(Config({
+        "type": "uflow_prob", "out_channels": [2, 2, 2 * n_off],
+        "inv_cov": False, "n_pyramids": 1, "mixture_weights": False,
+        "feature_norm": True, "level_dropout": 0.0,
+    }))
+    e_loss = get_loss(Config({
+        "type": "uflow_elbo", "edge_asymp": 0.01, "w_smooth": 4.0,
+        "edge_constant": 150.0, "with_bk": True,
+        "penalty_smooth": "charbonnier", "closed_form_smooth": False,
+        "isotropic_smooth": False, "data_loss": ["census"],
+        "data_weight": [1.0], "data_penalty": ["abs_robust_loss"],
+        "w_entropy": 0.1, "w_oof": 0.0, "w_occ": 0.0, "approx": "sparse",
+        "cov_supp": cov_supp, "n_components": 1, "inv_cov": False,
+        "approx_entropy": False, "occ_type": "sample", "n_samples": 4,
+        "offdiag_reg": 0.1, "natural_grad": False,
+    }))
+    im1, im2 = img1[:b2], img2[:b2]
+    e_vars = jax.jit(lambda r: e_model.init(r, im1, im2, with_bk=True))(
+        jax.random.PRNGKey(0)
+    )
+    e_params = e_vars["params"]
+    dt, spread = train_chain(e_model, e_loss, e_params, tx.init(e_params),
+                             im1, im2, with_rng=True)
+    out["train_elbo_sparse_f32_samples_per_sec"] = round(b2 / dt, 1)
+    out["train_elbo_sparse_f32_ms_per_step"] = round(dt * 1e3, 2)
+    out["train_elbo_sparse_f32_spread_pct"] = round(100.0 * spread, 2)
+    return out
 
 
 if __name__ == "__main__":

@@ -2,7 +2,9 @@
 """Per-stage attribution of the flagship inference program (MFU analysis).
 
 Times, under chained lax.scan on the real TPU, each stage of the
-bf16 uflow forward at the bench shape (b8, 384x640):
+bf16 uflow forward at the bench shape (default b8, 384x640; pass
+``--shape B,H,W`` for other shapes, e.g. ``--shape 4,448,1024`` for the
+Sintel-recommended resolution):
 
   - feature pyramid (2B images)
   - standalone per-level decoder conv stacks (dense-net shapes, no glue)
@@ -40,8 +42,15 @@ def main():
     from arflow_tpu.models.uflow import PWCFlow, PWCFeaturePyramid
     from arflow_tpu.ops import compute_cost_volume, flow_to_warp, resample, upsample
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="8,384,640",
+                    help="B,H,W (H and W must be multiples of 32)")
+    shape = ap.parse_args().shape
+
     rng = np.random.RandomState(0)
-    B, H, W = 8, 384, 640
+    B, H, W = (int(v) for v in shape.split(","))
     dt = jnp.bfloat16
     img1 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     img2 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
@@ -195,7 +204,7 @@ def main():
         ci = c
     rflops = (rflops + 2 * 9 * hh * ww * 32 * 2) * B
     t_ref = chained(lambda a, p: ref.apply(p, a), xr, rvars)
-    report("refinement_stack_96x160", t_ref, rflops)
+    report(f"refinement_stack_{hh}x{ww}", t_ref, rflops)
 
     # -- context deconv per level + normalize pairs + inter-level upsample --
     from arflow_tpu.models.layers import ConvTranspose2dTorch

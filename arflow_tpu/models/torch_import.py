@@ -21,6 +21,12 @@ import numpy as np
 def _np(t):
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
+    t = np.asarray(t)
+    if t.dtype == np.float64:
+        # Preserve double precision: the lockstep-trajectory parity tests
+        # import float64 torch models. Reference checkpoints are float32, so
+        # shipping imports are unaffected.
+        return t
     return np.asarray(t, dtype=np.float32)
 
 

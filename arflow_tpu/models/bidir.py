@@ -79,3 +79,27 @@ def component_batch_enabled(default: bool = True) -> bool:
     if env is not None:
         return env == "1"
     return default
+
+
+def hfold_k(batch: int, height: int, default_target: int = 0) -> int:
+    """Slices to fold H into batch for the dense-net decoder stacks.
+
+    XLA's TPU conv emitter under-utilizes at small batch: the same-FLOP
+    decoder stack runs ~32 TF/s at b1-b4 but ~80 TF/s at b>=8 regardless of
+    spatial shape (benchmarks/bench_decoder_shape_probe.py, v5e, bf16 —
+    e.g. b4 112x256 9.20 ms vs b8 112x128 3.72 ms). Folding H into batch
+    with exact per-layer halo exchange recovers the fast regime for
+    small-batch inference (Sintel-res b4, streaming b1).
+
+    Returns the largest k <= target/batch that divides height (1 = off).
+    ``ARFLOW_HFOLD=<target effective batch>`` overrides ``default_target``
+    at trace time; 0 disables.
+    """
+    env = os.environ.get("ARFLOW_HFOLD")
+    target = int(env) if env is not None else default_target
+    if target <= batch:
+        return 1
+    k = max(1, target // batch)
+    while k > 1 and height % k:
+        k -= 1
+    return k

@@ -196,8 +196,13 @@ class SplitConv(nn.Module):
     dtype: object = None  # compute dtype; params stay float32
 
     @nn.compact
-    def __call__(self, xs: list) -> jnp.ndarray:
+    def __call__(self, xs: list, h_valid: bool = False) -> jnp.ndarray:
         from arflow_tpu.models.bidir import split_decoder_enabled
+
+        # h_valid: caller already supplied the H padding rows (the H-fold
+        # path pre-pads each slice with exact cross-slice halos, see
+        # uflow.py _halo_pad_rows) — pad W only.
+        hpad = (0, 0) if h_valid else (1, 1)
 
         cin = sum(x.shape[-1] for x in xs)
         kernel = self.param(
@@ -211,7 +216,7 @@ class SplitConv(nn.Module):
         if len(xs) == 1 or not split_decoder_enabled(default=False):
             x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
             y = lax.conv_general_dilated(
-                x.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+                x.astype(dt), kernel.astype(dt), (1, 1), (hpad, (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(y.dtype)
@@ -222,7 +227,7 @@ class SplitConv(nn.Module):
             c = x.shape[-1]
             y = lax.conv_general_dilated(
                 x.astype(dt), kernel[:, :, off : off + c, :].astype(dt),
-                (1, 1), ((1, 1), (1, 1)),
+                (1, 1), (hpad, (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
             )

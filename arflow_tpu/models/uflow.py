@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from arflow_tpu.models.bidir import (
     bidir_batch_enabled,
+    hfold_k,
     pyramid_batch_enabled,
     split_decoder_enabled,
 )
@@ -41,6 +42,20 @@ from arflow_tpu.ops import (
 )
 
 _LEAKY_ALPHA = 0.1
+
+
+def _halo_pad_rows(x, batch, k):
+    """Pad each of the k H-slices (contiguous per image along batch) with one
+    row of TRUE neighbor data on each side — the row a full-H 3x3 SAME conv
+    would read — and zeros at the real image top/bottom. Output H grows by 2
+    so an H-valid conv returns exactly the full-H conv's slice rows."""
+    bk, hs, w, c = x.shape
+    assert bk == batch * k
+    x5 = x.reshape(batch, k, hs, w, c)
+    zero = jnp.zeros_like(x5[:, :1, :1])
+    top = jnp.concatenate([zero, x5[:, :-1, -1:]], axis=1)
+    bot = jnp.concatenate([x5[:, 1:, :1], zero], axis=1)
+    return jnp.concatenate([top, x5, bot], axis=2).reshape(bk, hs + 2, w, c)
 
 
 class PWCFeaturePyramid(nn.Module):
@@ -121,9 +136,10 @@ class PWCFlow(nn.Module):
                     SplitConv(c, name=f"flow_l{level}_c{j}",
                               dtype=self.dtype)
                 )
+            # SplitConv == conv2d(2, k=3) param-for-param; it additionally
+            # accepts the H-fold h_valid mode (pre-padded halo rows).
             convs.append(
-                conv2d(2, kernel_size=3, name=f"flow_l{level}_out",
-                       dtype=self.dtype)
+                SplitConv(2, name=f"flow_l{level}_out", dtype=self.dtype)
             )
             flow_layers[level] = convs
         self._flow_layers = flow_layers
@@ -218,13 +234,42 @@ class PWCFlow(nn.Module):
                 for conv in self._flow_layers[level][:-1]:
                     x_out = leaky_relu(conv(chunks), _LEAKY_ALPHA)
                     chunks = chunks + [x_out]
+                context = x_out
+                flow = self._flow_layers[level][-1]([context])
             else:
                 x_in = jnp.concatenate(chunks, axis=-1)
+                b0, h0 = x_in.shape[0], x_in.shape[1]
+                # Default ON for inference (the small-batch serving shapes
+                # where the b<8 conv cliff bites: +9.6% at Sintel-res b4,
+                # +14.6% at streaming b1, bench_hfold_ab.py); OFF in training
+                # so trajectories stay byte-identical with prior rounds.
+                # ARFLOW_HFOLD overrides either way.
+                k = hfold_k(b0, h0, default_target=0 if train else 8)
+                if k > 1:
+                    # Fold H into batch for the dense-net stack: XLA's conv
+                    # emitter runs ~2.5x faster at batch>=8 than at b<=4 for
+                    # the same FLOPs (bench_decoder_shape_probe.py). Exact
+                    # numerics: each conv gets true cross-slice halo rows
+                    # (zeros at the real image edges) and runs H-valid.
+                    x_in = x_in.reshape(b0 * k, h0 // k, *x_in.shape[2:])
                 for conv in self._flow_layers[level][:-1]:
-                    x_out = leaky_relu(conv([x_in]), _LEAKY_ALPHA)
+                    if k > 1:
+                        x_out = leaky_relu(
+                            conv([_halo_pad_rows(x_in, b0, k)], h_valid=True),
+                            _LEAKY_ALPHA,
+                        )
+                    else:
+                        x_out = leaky_relu(conv([x_in]), _LEAKY_ALPHA)
                     x_in = jnp.concatenate([x_in, x_out], axis=-1)
-            context = x_out
-            flow = self._flow_layers[level][-1](context)
+                context = x_out
+                if k > 1:
+                    flow = self._flow_layers[level][-1](
+                        [_halo_pad_rows(context, b0, k)], h_valid=True
+                    )
+                    context = context.reshape(b0, h0, *context.shape[2:])
+                    flow = flow.reshape(b0, h0, *flow.shape[2:])
+                else:
+                    flow = self._flow_layers[level][-1]([context])
 
             context, flow = self._maybe_level_dropout(
                 [context, flow], train, num_groups

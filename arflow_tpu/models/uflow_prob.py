@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from arflow_tpu.models.bidir import (
     bidir_batch_enabled,
     component_batch_enabled,
+    hfold_k,
     split_decoder_enabled,
 )
 from arflow_tpu.models.layers import (
@@ -41,7 +42,7 @@ from arflow_tpu.models.layers import (
     kaiming_normal,
     leaky_relu,
 )
-from arflow_tpu.models.uflow import PWCFeaturePyramid
+from arflow_tpu.models.uflow import PWCFeaturePyramid, _halo_pad_rows
 from arflow_tpu.ops import (
     compute_cost_volume,
     downsample,
@@ -105,7 +106,13 @@ class PWCProbFlow(nn.Module):
                 if level == 1
                 else sum(self.out_channels[0:2])
             )
-            convs.append(_conv(out_ch, name=f"flow_l{level}_out", dtype=self.dtype))
+            # SplitConv == _conv(out_ch) param-for-param (same kernel/bias
+            # names, shapes, and kaiming init); it additionally accepts the
+            # H-fold h_valid mode (see models/uflow.py).
+            convs.append(
+                SplitConv(out_ch, kernel_init=kaiming_normal,
+                          name=f"flow_l{level}_out", dtype=self.dtype)
+            )
             flow_layers[level] = convs
         self._flow_layers = flow_layers
         self._context_up_layers = {
@@ -215,13 +222,34 @@ class PWCProbFlow(nn.Module):
                 for conv in self._flow_layers[level][:-1]:
                     x_out = leaky_relu(conv(chunks), _ALPHA)
                     chunks = chunks + [x_out]
+                context = x_out
+                out = self._flow_layers[level][-1]([context])
             else:
                 x_in = jnp.concatenate(chunks, axis=-1)
+                b0, h0 = x_in.shape[0], x_in.shape[1]
+                # H-fold relayout for small-batch inference (exact halo
+                # numerics; see models/uflow.py + BASELINE.md round 4).
+                k = hfold_k(b0, h0, default_target=0 if train else 8)
+                if k > 1:
+                    x_in = x_in.reshape(b0 * k, h0 // k, *x_in.shape[2:])
                 for conv in self._flow_layers[level][:-1]:
-                    x_out = leaky_relu(conv([x_in]), _ALPHA)
+                    if k > 1:
+                        x_out = leaky_relu(
+                            conv([_halo_pad_rows(x_in, b0, k)], h_valid=True),
+                            _ALPHA,
+                        )
+                    else:
+                        x_out = leaky_relu(conv([x_in]), _ALPHA)
                     x_in = jnp.concatenate([x_in, x_out], axis=-1)
-            context = x_out
-            out = self._flow_layers[level][-1](context)
+                context = x_out
+                if k > 1:
+                    out = self._flow_layers[level][-1](
+                        [_halo_pad_rows(context, b0, k)], h_valid=True
+                    )
+                    context = context.reshape(b0, h0, *context.shape[2:])
+                    out = out.reshape(b0, h0, *out.shape[2:])
+                else:
+                    out = self._flow_layers[level][-1]([context])
             context, out = self._maybe_dropout([context, out], train, num_groups)
 
             # Pad propagated channels when the output level adds N extras.

@@ -151,6 +151,38 @@ def main():
         for k, v in entry.items():
             extra[f"{mode}_{k}"] = v
 
+    # ---- Sintel-res inference (round-4: driver-verifiable H-fold win) ----
+    # b4 448x1024 bf16, the reference README's Sintel resolution; the H-fold
+    # decoder relayout (BASELINE.md round-4 attribution) engages by default
+    # at inference and is the headline small-batch optimization.
+    sh, sw, sb = 448, 1024, 4
+    simg1 = jnp.asarray(rng.rand(sb, sh, sw, 3).astype(np.float32))
+    simg2 = jnp.asarray(rng.rand(sb, sh, sw, 3).astype(np.float32))
+    smodel = PWCFlow(level_dropout=0.0, feature_norm=True,
+                     dtype=jnp.bfloat16)
+    sparams = jax.jit(
+        lambda r: smodel.init(r, simg1, simg2, with_bk=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    @jax.jit
+    def schain(p, a, b):
+        def body(c, _):
+            out = smodel.apply(
+                {"params": p}, a + c * 1e-12, b, with_bk=False
+            )["flows_fw"][0]
+            return c + jnp.sum(out) * 1e-20, None
+
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=20)
+        return c
+
+    total, ts = timed(schain, sparams, simg1, simg2)
+    sdt = max(total - rtt, 1e-6) / 20
+    extra["sintel_448x1024_b4_bf16_maps_per_sec"] = round(sb / sdt, 3)
+    extra["sintel_448x1024_b4_bf16_ms_per_batch"] = round(sdt * 1e3, 3)
+    extra["sintel_448x1024_b4_bf16_spread_pct"] = round(
+        100.0 * float((ts.max() - ts.min()) / np.median(ts)), 2
+    )
+
     # ---- training throughput (round-4: driver-verifiable train numbers) ----
     # Chained full train steps (fwd+bwd both directions, loss, Adam update,
     # state carried through the scan) at the BASELINE.md train-step shapes:

@@ -81,6 +81,26 @@ def component_batch_enabled(default: bool = True) -> bool:
     return default
 
 
+def wfold_pyramid_enabled(default: bool = False) -> bool:
+    """Fold 4 W-columns into channels for the feature pyramid's thin convs.
+
+    The pyramid's 32-out convs fill a quarter of the MXU's 128 lanes and
+    run at ~10-12 TF/s; re-laying the SAME conv out as a fold-4 conv
+    ((3,3,128,128) kernel with 4x structural zeros for stride 1,
+    (3,2,8*cin,128) for the stride-2 stems) runs at 63% of peak MACHINE
+    rate and nets 2.4-3.1x on the whole pyramid
+    (benchmarks/bench_pyramid_fold_ab.py, TPU v5e, chained: 2B16 384x640
+    4.67 -> 1.97 ms; 2B8 448x1024 5.07 -> 1.62; 2B2 1.06 -> 0.43).
+    Numerics are exact up to MXU summation order (zeros add nothing; bf16
+    parity 1 ULP, see tests/test_wfold_pyramid.py). Default ON at
+    inference, OFF in training to keep trajectories byte-identical;
+    ``ARFLOW_WFOLD_PYR=0/1`` force-overrides at trace time."""
+    env = os.environ.get("ARFLOW_WFOLD_PYR")
+    if env is not None:
+        return env == "1"
+    return default
+
+
 def hfold_k(batch: int, height: int, default_target: int = 0) -> int:
     """Slices to fold H into batch for the dense-net decoder stacks.
 

@@ -117,6 +117,44 @@ def quantized_conv2d(x, kernel, bias, stride, pad):
     return yi.astype(jnp.float32) * (ax * sw) + bias
 
 
+def wfold_s1_kernel(k: jnp.ndarray, f: int = 4) -> jnp.ndarray:
+    """Remap a (3,3,cin,cout) stride-1 kernel to the W-fold-f layout
+    (3, 3, f*cin, f*cout): output phase r of a folded cell j reads original
+    columns f*j+r-1 .. f*j+r+1, which span folded cells j-1..j+1; the
+    original tap (h, t) lands at window offset ``f + r + t - 1`` (cell
+    offset//f, sub-column offset%f). All other entries are structural
+    zeros, so the folded conv computes the EXACT same sums (zeros add
+    nothing; only MXU pass order differs). See
+    benchmarks/bench_pyramid_fold_ab.py and models/bidir.py
+    ``wfold_pyramid_enabled`` for the measured win."""
+    kh, kw, cin, cout = k.shape
+    z = jnp.zeros((kh, cin, cout), k.dtype)
+    cols = []
+    for r in range(f):
+        taps = {f + r + t - 1: k[:, t] for t in range(kw)}
+        stack = [taps.get(off, z) for off in range(3 * f)]
+        cols.append(jnp.concatenate(stack, axis=1))
+    big = jnp.concatenate(cols, axis=2)  # (kh, 3f*cin, f*cout)
+    return big.reshape(kh, 3, f * cin, f * cout)
+
+
+def wfold_s2_kernel(k: jnp.ndarray, f: int = 4) -> jnp.ndarray:
+    """Remap a (3,3,cin,cout) stride-2 kernel to the W-folded layout
+    (3, 2, 2f*cin, f*cout): output phase r of folded output cell j reads
+    original columns 2f*j+2r-1 .. 2f*j+2r+1 — folded INPUT cells (of 2f
+    columns) j-1..j, a width-2 window needing one cell of left pad only."""
+    kh, kw, cin, cout = k.shape
+    fi = 2 * f
+    z = jnp.zeros((kh, cin, cout), k.dtype)
+    cols = []
+    for r in range(f):
+        taps = {fi + 2 * r + t - 1: k[:, t] for t in range(kw)}
+        stack = [taps.get(off, z) for off in range(2 * fi)]
+        cols.append(jnp.concatenate(stack, axis=1))
+    big = jnp.concatenate(cols, axis=2)  # (kh, 2*fi*cin, f*cout)
+    return big.reshape(kh, 2, fi * cin, f * cout)
+
+
 class Conv2dNPad(nn.Module):
     """3x3-family conv whose OUTPUT channels are zero-padded to ``pad_to``
     on the MXU when the gate is on (bf16 thin-N workaround; see
@@ -126,6 +164,11 @@ class Conv2dNPad(nn.Module):
 
     A second trace-time gate, ``int8_pyramid_enabled``, swaps the apply
     path for a dynamically-quantized int8 conv (serving-only; same params).
+
+    ``__call__(x, wfold=...)`` selects the W-folded apply path (same
+    params, input/output in fold-4 layout): ``"s1"`` for stride-1 convs,
+    ``"s2"`` for the stride-2 stems (input arrives fold-4 and is reshaped
+    to fold-8 internally). See ``wfold_s1_kernel`` / ``wfold_s2_kernel``.
     """
 
     features: int
@@ -138,9 +181,10 @@ class Conv2dNPad(nn.Module):
     int8: bool = False  # serving-only quantized path (see int8_pyramid_enabled)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, wfold: str | None = None
+                 ) -> jnp.ndarray:
         k, s = self.kernel_size, self.stride
-        cin = x.shape[-1]
+        cin = x.shape[-1] if wfold is None else x.shape[-1] // 4
         kernel = self.param(
             "kernel", self.kernel_init, (k, k, cin, self.features),
             jnp.float32,
@@ -151,6 +195,27 @@ class Conv2dNPad(nn.Module):
         )
         dt = self.dtype if self.dtype is not None else x.dtype
         pad = (k - 1) // 2
+        if wfold is not None:
+            assert k == 3, "W-fold supports 3x3 convs only"
+            bias4 = jnp.tile(bias, 4).astype(dt)
+            if wfold == "s2":
+                assert s == 2
+                b_, h_, wc_, c_ = x.shape
+                x8 = x.reshape(b_, h_, wc_ // 2, 2 * c_)
+                x8 = jnp.pad(x8, ((0, 0), (0, 0), (1, 0), (0, 0)))
+                y = lax.conv_general_dilated(
+                    x8.astype(dt), wfold_s2_kernel(kernel).astype(dt),
+                    (2, 1), ((1, 1), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                assert wfold == "s1" and s == 1
+                y = lax.conv_general_dilated(
+                    x.astype(dt), wfold_s1_kernel(kernel).astype(dt),
+                    (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            return y + bias4
         if int8_pyramid_enabled(default=self.int8):
             return quantized_conv2d(kernel=kernel, bias=bias, x=x,
                                     stride=s, pad=pad).astype(dt)

@@ -24,12 +24,14 @@ from arflow_tpu.models.bidir import (
     hfold_k,
     pyramid_batch_enabled,
     split_decoder_enabled,
+    wfold_pyramid_enabled,
 )
 from arflow_tpu.models.layers import (
     Conv2dNPad,
     ConvTranspose2dTorch,
     SplitConv,
     conv2d,
+    int8_pyramid_enabled,
     leaky_relu,
     xavier_uniform,
 )
@@ -58,6 +60,32 @@ def _halo_pad_rows(x, batch, k):
     return jnp.concatenate([top, x5, bot], axis=2).reshape(bk, hs + 2, w, c)
 
 
+def _dense_stack_hfold(convs, x_in, b0, k, alpha):
+    """Dense-net decoder stack on the H-folded layout, maintaining the
+    halo-padded buffer INCREMENTALLY: only each new (thin, 128-ch) conv
+    output is halo-padded and channel-concatenated onto the padded buffer,
+    instead of re-halo-padding the full growing (up-to-659-ch) tensor per
+    conv. Halo-padding is a per-channel row shuffle, so it commutes with
+    channel concat — numerics are bitwise those of the naive form
+    (tests/test_hfold.py) while the big tensor is materialized once per
+    conv rather than twice (~halves the non-conv HBM traffic of the fold;
+    BASELINE.md round 4 'remaining l1 gap').
+
+    Returns ``(context, out)``: the last hidden activation (unpadded,
+    slice-rows layout) and the final out-conv applied to its halo-padded
+    form."""
+    x_pad = _halo_pad_rows(x_in, b0, k)
+    x_out = None
+    x_out_pad = None
+    for conv in convs[:-1]:
+        if x_out_pad is not None:
+            x_pad = jnp.concatenate([x_pad, x_out_pad], axis=-1)
+        x_out = leaky_relu(conv([x_pad], h_valid=True), alpha)
+        x_out_pad = _halo_pad_rows(x_out, b0, k)
+    out = convs[-1]([x_out_pad], h_valid=True)
+    return x_out, out
+
+
 class PWCFeaturePyramid(nn.Module):
     """Feature pyramid (models/uflow_model.py:364-470).
 
@@ -71,12 +99,31 @@ class PWCFeaturePyramid(nn.Module):
     int8: bool = False  # serving-only quantized convs (model.dtype "int8")
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> list:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> list:
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = x * 2.0 - 1.0
+        # W-fold: run the whole pyramid with 4 W-columns folded into
+        # channels — the thin 32-out convs become (3,3,128,128)-shaped
+        # ((3,2,8*cin,128) for the stride-2 stems) and run 2.4-3.1x faster
+        # on the MXU (bidir.wfold_pyramid_enabled has the numbers). Exact
+        # numerics up to MXU summation order; default ON at inference only.
+        folded = (
+            not int8_pyramid_enabled(default=self.int8)
+            and wfold_pyramid_enabled(default=not train)
+            and x.shape[2] % 8 == 0
+        )
+        if folded:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h, w // 4, 4 * c)
         features = []
         for level, (num_layers, num_filters) in enumerate(self.filters):
+            if folded and x.shape[2] % 2:
+                # remaining folded width cannot supply the stem's fold-8
+                # cells — unfold and run the small upper levels direct
+                b, h, wc, c4 = x.shape
+                x = x.reshape(b, h, wc * 4, c4 // 4)
+                folded = False
             for i in range(num_layers):
                 stride = 2 if i == 0 else 1
                 # Conv2dNPad == conv2d (identical params/geometry), plus the
@@ -84,7 +131,7 @@ class PWCFeaturePyramid(nn.Module):
                 # Measured a WASH (bench_pyramid_probe: pyramid 4.72 ms
                 # either way; the thin conv is M*K pass-bound, N<=128 free)
                 # — default OFF, gate kept as the recorded experiment.
-                x = Conv2dNPad(
+                conv = Conv2dNPad(
                     num_filters,
                     kernel_size=3,
                     stride=stride,
@@ -93,9 +140,18 @@ class PWCFeaturePyramid(nn.Module):
                     dtype=self.dtype,
                     gate_default=False,
                     int8=self.int8,
-                )(x)
+                )
+                if folded:
+                    x = conv(x, wfold="s2" if stride == 2 else "s1")
+                else:
+                    x = conv(x)
                 x = leaky_relu(x, self.leaky_relu_alpha)
-            features.append(x)
+            features.append(
+                x.reshape(x.shape[0], x.shape[1], x.shape[2] * 4,
+                          num_filters)
+                if folded
+                else x
+            )
         return features
 
 
@@ -252,23 +308,16 @@ class PWCFlow(nn.Module):
                     # numerics: each conv gets true cross-slice halo rows
                     # (zeros at the real image edges) and runs H-valid.
                     x_in = x_in.reshape(b0 * k, h0 // k, *x_in.shape[2:])
-                for conv in self._flow_layers[level][:-1]:
-                    if k > 1:
-                        x_out = leaky_relu(
-                            conv([_halo_pad_rows(x_in, b0, k)], h_valid=True),
-                            _LEAKY_ALPHA,
-                        )
-                    else:
-                        x_out = leaky_relu(conv([x_in]), _LEAKY_ALPHA)
-                    x_in = jnp.concatenate([x_in, x_out], axis=-1)
-                context = x_out
-                if k > 1:
-                    flow = self._flow_layers[level][-1](
-                        [_halo_pad_rows(context, b0, k)], h_valid=True
+                    context, flow = _dense_stack_hfold(
+                        self._flow_layers[level], x_in, b0, k, _LEAKY_ALPHA
                     )
                     context = context.reshape(b0, h0, *context.shape[2:])
                     flow = flow.reshape(b0, h0, *flow.shape[2:])
                 else:
+                    for conv in self._flow_layers[level][:-1]:
+                        x_out = leaky_relu(conv([x_in]), _LEAKY_ALPHA)
+                        x_in = jnp.concatenate([x_in, x_out], axis=-1)
+                    context = x_out
                     flow = self._flow_layers[level][-1]([context])
 
             context, flow = self._maybe_level_dropout(
@@ -309,13 +358,13 @@ class PWCFlow(nn.Module):
             # models/bidir.py pyramid_batch_enabled).
             nb = img1.shape[0]
             fboth = self.feature_pyramid(
-                jnp.concatenate([img1, img2], axis=0)
+                jnp.concatenate([img1, img2], axis=0), train=train
             )
             fp1 = [f[:nb] for f in fboth]
             fp2 = [f[nb:] for f in fboth]
         else:
-            fp1 = self.feature_pyramid(img1)
-            fp2 = self.feature_pyramid(img2)
+            fp1 = self.feature_pyramid(img1, train=train)
+            fp2 = self.feature_pyramid(img2, train=train)
         if with_bk and bidir_batch_enabled(default=False):
             # Batched bidirectional pass: fw and bw ride ONE coarse-to-fine
             # pass at 2B on swapped pyramids. Per-sample numerics are

@@ -42,7 +42,7 @@ from arflow_tpu.models.layers import (
     kaiming_normal,
     leaky_relu,
 )
-from arflow_tpu.models.uflow import PWCFeaturePyramid, _halo_pad_rows
+from arflow_tpu.models.uflow import PWCFeaturePyramid, _dense_stack_hfold
 from arflow_tpu.ops import (
     compute_cost_volume,
     downsample,
@@ -232,23 +232,16 @@ class PWCProbFlow(nn.Module):
                 k = hfold_k(b0, h0, default_target=0 if train else 8)
                 if k > 1:
                     x_in = x_in.reshape(b0 * k, h0 // k, *x_in.shape[2:])
-                for conv in self._flow_layers[level][:-1]:
-                    if k > 1:
-                        x_out = leaky_relu(
-                            conv([_halo_pad_rows(x_in, b0, k)], h_valid=True),
-                            _ALPHA,
-                        )
-                    else:
-                        x_out = leaky_relu(conv([x_in]), _ALPHA)
-                    x_in = jnp.concatenate([x_in, x_out], axis=-1)
-                context = x_out
-                if k > 1:
-                    out = self._flow_layers[level][-1](
-                        [_halo_pad_rows(context, b0, k)], h_valid=True
+                    context, out = _dense_stack_hfold(
+                        self._flow_layers[level], x_in, b0, k, _ALPHA
                     )
                     context = context.reshape(b0, h0, *context.shape[2:])
                     out = out.reshape(b0, h0, *out.shape[2:])
                 else:
+                    for conv in self._flow_layers[level][:-1]:
+                        x_out = leaky_relu(conv([x_in]), _ALPHA)
+                        x_in = jnp.concatenate([x_in, x_out], axis=-1)
+                    context = x_out
                     out = self._flow_layers[level][-1]([context])
             context, out = self._maybe_dropout([context, out], train, num_groups)
 
@@ -329,7 +322,7 @@ class PWCProbFlow(nn.Module):
             pairs = []
             both = jnp.concatenate([img1, img2], axis=0)
             for k in range(self.n_pyramids):
-                fboth = self.pyramids[k](both)
+                fboth = self.pyramids[k](both, train=train)
                 pairs.append(([f[:nb] for f in fboth], [f[nb:] for f in fboth]))
 
             def run(srcs, tgts):
@@ -358,8 +351,8 @@ class PWCProbFlow(nn.Module):
                     )
         else:
             for k in range(self.n_pyramids):
-                f1 = self.pyramids[k](img1)
-                f2 = self.pyramids[k](img2)
+                f1 = self.pyramids[k](img1, train=train)
+                f2 = self.pyramids[k](img2, train=train)
                 if bidir:
                     # Batched bidirectional pass (see PWCFlow.__call__;
                     # per-sample numerics unchanged). Default ON: the full

@@ -155,6 +155,32 @@ def wfold_s2_kernel(k: jnp.ndarray, f: int = 4) -> jnp.ndarray:
     return big.reshape(kh, 2, fi * cin, f * cout)
 
 
+def wfold_begin(x: jnp.ndarray) -> tuple:
+    """Enter fold-4 W layout for a pyramid if the width allows; returns
+    ``(x, folded)``. Callers gate on ``bidir.wfold_pyramid_enabled``."""
+    if x.shape[2] % 8:
+        return x, False
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 4, 4 * c), True
+
+
+def wfold_level_check(x: jnp.ndarray, folded: bool, ch_out: int) -> tuple:
+    """Unfold before a pyramid level whose stem cannot fold: the folded
+    width must still split into fold-8 cells, and folding only pays while
+    4*ch_out fits the MXU's 128 lanes (wider N would multiply N-tile
+    passes — measured LOSS for 64+-channel levels, see
+    ``bidir.wfold_pyramid_enabled``)."""
+    if folded and (x.shape[2] % 2 or 4 * ch_out > 128):
+        b, h, wc, c4 = x.shape
+        return x.reshape(b, h, wc * 4, c4 // 4), False
+    return x, folded
+
+
+def wfold_unfold(x: jnp.ndarray, ch: int) -> jnp.ndarray:
+    """Leave fold-4 layout: (B, H, Wc, 4*ch) -> (B, H, 4*Wc, ch)."""
+    return x.reshape(x.shape[0], x.shape[1], x.shape[2] * 4, ch)
+
+
 class Conv2dNPad(nn.Module):
     """3x3-family conv whose OUTPUT channels are zero-padded to ``pad_to``
     on the MXU when the gate is on (bf16 thin-N workaround; see

@@ -18,8 +18,16 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from arflow_tpu.models.bidir import bidir_batch_enabled
-from arflow_tpu.models.layers import conv2d, kaiming_normal, leaky_relu
+from arflow_tpu.models.bidir import bidir_batch_enabled, wfold_pyramid_enabled
+from arflow_tpu.models.layers import (
+    Conv2dNPad,
+    conv2d,
+    kaiming_normal,
+    leaky_relu,
+    wfold_begin,
+    wfold_level_check,
+    wfold_unfold,
+)
 from arflow_tpu.ops import compute_cost_volume, flow_warp, resize_bilinear
 
 _ALPHA = 0.1
@@ -51,17 +59,30 @@ class FeatureExtractor(nn.Module):
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params f32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        # W-fold the THIN levels (16/32 channels: 4*ch <= 128 lanes) —
+        # the large-M half of the pyramid; levels with 64+ channels run
+        # direct (folding would multiply N-tile passes). Same relayout as
+        # the uflow pyramid (bidir.wfold_pyramid_enabled has the numbers);
+        # params unchanged (Conv2dNPad == conv2d param-for-param).
+        folded = False
+        if wfold_pyramid_enabled(default=not train):
+            x, folded = wfold_begin(x)
         pyramid = []
         for level, ch_out in enumerate(self.num_chs[1:]):
-            x = _conv(ch_out, stride=2, name=f"conv_l{level}_0",
-                      dtype=self.dtype)(x)
+            x, folded = wfold_level_check(x, folded, ch_out)
+            conv0 = Conv2dNPad(ch_out, 3, stride=2,
+                               kernel_init=kaiming_normal,
+                               name=f"conv_l{level}_0", dtype=self.dtype)
+            conv1 = Conv2dNPad(ch_out, 3, kernel_init=kaiming_normal,
+                               name=f"conv_l{level}_1", dtype=self.dtype)
+            x = conv0(x, wfold="s2") if folded else conv0(x)
             x = leaky_relu(x, _ALPHA)
-            x = _conv(ch_out, name=f"conv_l{level}_1", dtype=self.dtype)(x)
+            x = conv1(x, wfold="s1") if folded else conv1(x)
             x = leaky_relu(x, _ALPHA)
-            pyramid.append(x)
+            pyramid.append(wfold_unfold(x, ch_out) if folded else x)
         return pyramid[::-1]
 
 
@@ -212,7 +233,9 @@ class PWCLite(nn.Module):
         return flows_10, flows_12
 
     def __call__(self, *imgs, with_bk: bool = False, train: bool = False):
-        pyramids = [self.feature_extractor(img) for img in imgs]
+        pyramids = [
+            self.feature_extractor(img, train=train) for img in imgs
+        ]
         n = len(imgs)
         res = {}
         nb = imgs[0].shape[0]

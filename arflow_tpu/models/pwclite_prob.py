@@ -97,8 +97,8 @@ class PWCLiteProb(nn.Module):
         return outputs[::-1]
 
     def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
-        p1 = self.feature_extractor(img1)
-        p2 = self.feature_extractor(img2)
+        p1 = self.feature_extractor(img1, train=train)
+        p2 = self.feature_extractor(img2, train=train)
         if with_bk and bidir_batch_enabled(default=False):
             # TPU fast path: fw + bw in one 2B pass (see PWCLite.__call__).
             pa = [jnp.concatenate([a, b], axis=0) for a, b in zip(p1, p2)]

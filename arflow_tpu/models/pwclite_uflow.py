@@ -14,13 +14,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from arflow_tpu.models.bidir import bidir_batch_enabled
-from arflow_tpu.models.layers import ConvTranspose2dTorch, leaky_relu
+from arflow_tpu.models.bidir import bidir_batch_enabled, wfold_pyramid_enabled
+from arflow_tpu.models.layers import (
+    Conv2dNPad,
+    ConvTranspose2dTorch,
+    kaiming_normal,
+    leaky_relu,
+    wfold_begin,
+    wfold_level_check,
+    wfold_unfold,
+)
 from arflow_tpu.models.pwclite import (
     ContextNetwork,
     FlowEstimatorDense,
     FlowEstimatorReduce,
-    _conv,
     _ALPHA,
 )
 from arflow_tpu.ops import compute_cost_volume, flow_warp, resize_bilinear
@@ -46,17 +53,31 @@ class ThinFeatureExtractor(nn.Module):
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params f32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = x * 2.0 - 1.0
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        c = lambda f, name, **kw: _conv(f, name=name, dtype=self.dtype, **kw)
+        # All levels are thin (16/32 channels) — the whole pyramid rides
+        # the W-fold relayout at inference (bidir.wfold_pyramid_enabled).
+        folded = False
+        if wfold_pyramid_enabled(default=not train):
+            x, folded = wfold_begin(x)
         pyramid = []
         for level, ch_out in enumerate(self.num_chs[1:]):
-            x = leaky_relu(c(ch_out, f"conv_l{level}_0", stride=2)(x), _ALPHA)
-            x = leaky_relu(c(ch_out, f"conv_l{level}_1")(x), _ALPHA)
-            x = leaky_relu(c(ch_out, f"conv_l{level}_2")(x), _ALPHA)
-            pyramid.append(x)
+            x, folded = wfold_level_check(x, folded, ch_out)
+            convs = [
+                Conv2dNPad(ch_out, 3, stride=2 if i == 0 else 1,
+                           kernel_init=kaiming_normal,
+                           name=f"conv_l{level}_{i}", dtype=self.dtype)
+                for i in range(3)
+            ]
+            for i, conv in enumerate(convs):
+                if folded:
+                    x = conv(x, wfold="s2" if i == 0 else "s1")
+                else:
+                    x = conv(x)
+                x = leaky_relu(x, _ALPHA)
+            pyramid.append(wfold_unfold(x, ch_out) if folded else x)
         return pyramid[::-1]
 
 
@@ -160,8 +181,8 @@ class PWCLiteUflow(nn.Module):
         return flows[::-1]
 
     def __call__(self, img1, img2, with_bk: bool = False, train: bool = False):
-        p1 = self.feature_extractor(img1)
-        p2 = self.feature_extractor(img2)
+        p1 = self.feature_extractor(img1, train=train)
+        p2 = self.feature_extractor(img2, train=train)
         if with_bk and bidir_batch_enabled(default=False):
             # TPU fast path: fw + bw in one 2B pass (see PWCLite.__call__);
             # feature standardization is per-sample so halves never mix.

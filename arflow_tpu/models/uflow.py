@@ -33,6 +33,9 @@ from arflow_tpu.models.layers import (
     conv2d,
     int8_pyramid_enabled,
     leaky_relu,
+    wfold_begin,
+    wfold_level_check,
+    wfold_unfold,
     xavier_uniform,
 )
 from arflow_tpu.ops import (
@@ -108,22 +111,16 @@ class PWCFeaturePyramid(nn.Module):
         # ((3,2,8*cin,128) for the stride-2 stems) and run 2.4-3.1x faster
         # on the MXU (bidir.wfold_pyramid_enabled has the numbers). Exact
         # numerics up to MXU summation order; default ON at inference only.
-        folded = (
-            not int8_pyramid_enabled(default=self.int8)
-            and wfold_pyramid_enabled(default=not train)
-            and x.shape[2] % 8 == 0
-        )
-        if folded:
-            b, h, w, c = x.shape
-            x = x.reshape(b, h, w // 4, 4 * c)
+        folded = False
+        if not int8_pyramid_enabled(default=self.int8) and (
+            wfold_pyramid_enabled(default=not train)
+        ):
+            x, folded = wfold_begin(x)
         features = []
         for level, (num_layers, num_filters) in enumerate(self.filters):
-            if folded and x.shape[2] % 2:
-                # remaining folded width cannot supply the stem's fold-8
-                # cells — unfold and run the small upper levels direct
-                b, h, wc, c4 = x.shape
-                x = x.reshape(b, h, wc * 4, c4 // 4)
-                folded = False
+            # unfold when the remaining width cannot supply the stem's
+            # fold-8 cells — the small upper levels run direct
+            x, folded = wfold_level_check(x, folded, num_filters)
             for i in range(num_layers):
                 stride = 2 if i == 0 else 1
                 # Conv2dNPad == conv2d (identical params/geometry), plus the
@@ -146,12 +143,7 @@ class PWCFeaturePyramid(nn.Module):
                 else:
                     x = conv(x)
                 x = leaky_relu(x, self.leaky_relu_alpha)
-            features.append(
-                x.reshape(x.shape[0], x.shape[1], x.shape[2] * 4,
-                          num_filters)
-                if folded
-                else x
-            )
+            features.append(wfold_unfold(x, num_filters) if folded else x)
         return features
 
 

@@ -157,3 +157,56 @@ def test_wfold_training_default_off(rng, monkeypatch):
     direct = jax.jit(lambda v, a: pyr.apply(v, a))(variables, x)
     for r, g in zip(train_feats, direct):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_wfold_pwclite_parity(rng, monkeypatch):
+    """PWCLite folds only its thin (16/32-ch) pyramid levels; 64+-channel
+    levels must unfold mid-pyramid and the model output must match."""
+    from arflow_tpu.models.pwclite import PWCLite
+
+    x1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+
+    outs = {}
+    for wfold in (False, True):
+        monkeypatch.setenv("ARFLOW_WFOLD_PYR", "1" if wfold else "0")
+        model = PWCLite(n_frames=2)
+        variables = jax.jit(
+            lambda r: model.init(r, x1, x2, with_bk=True)
+        )(jax.random.PRNGKey(0))
+        outs[wfold] = jax.jit(
+            lambda v, a, b: model.apply(v, a, b, with_bk=True)
+        )(variables, x1, x2)
+
+    for key in ("flows_fw", "flows_bw"):
+        for lvl, (r, g) in enumerate(zip(outs[False][key], outs[True][key])):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(g), rtol=0, atol=5e-5,
+                err_msg=f"{key} level {lvl}",
+            )
+
+
+def test_wfold_pwclite_uflow_parity(rng, monkeypatch):
+    """ThinFeatureExtractor (all levels 16/32-ch) folds end-to-end."""
+    from arflow_tpu.models.pwclite_uflow import PWCLiteUflow
+
+    x1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+
+    outs = {}
+    for wfold in (False, True):
+        monkeypatch.setenv("ARFLOW_WFOLD_PYR", "1" if wfold else "0")
+        model = PWCLiteUflow(n_frames=2)
+        variables = jax.jit(
+            lambda r: model.init(r, x1, x2, with_bk=True)
+        )(jax.random.PRNGKey(0))
+        outs[wfold] = jax.jit(
+            lambda v, a, b: model.apply(v, a, b, with_bk=True)
+        )(variables, x1, x2)
+
+    for key in ("flows_fw", "flows_bw"):
+        for lvl, (r, g) in enumerate(zip(outs[False][key], outs[True][key])):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(g), rtol=0, atol=5e-5,
+                err_msg=f"{key} level {lvl}",
+            )

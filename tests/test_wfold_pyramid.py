@@ -161,11 +161,15 @@ def test_wfold_training_default_off(rng, monkeypatch):
 
 def test_wfold_pwclite_parity(rng, monkeypatch):
     """PWCLite folds only its thin (16/32-ch) pyramid levels; 64+-channel
-    levels must unfold mid-pyramid and the model output must match."""
+    levels must unfold mid-pyramid and the model output must match.
+
+    W=128: PWCLite's 6-level stride-2 pyramid needs W to survive six
+    halvings plus the decoder's 2x re-upsampling (96 does not: 96 -> ... ->
+    3 vs upflow2's 4)."""
     from arflow_tpu.models.pwclite import PWCLite
 
-    x1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
-    x2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    x1 = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
 
     outs = {}
     for wfold in (False, True):

@@ -123,3 +123,26 @@ def hfold_k(batch: int, height: int, default_target: int = 0) -> int:
     while k > 1 and height % k:
         k -= 1
     return k
+
+
+def hfold_refine_k(batch: int, height: int, max_dil: int,
+                   default_target: int = 0) -> int:
+    """Fold factor for the dilated refinement stack (round-5).
+
+    Same batch-cliff motivation as ``hfold_k``; additionally capped so each
+    H-slice can supply its neighbor's halo rows — per-conv halo = dilation
+    rows, so slice height must be >= the stack's max dilation (16 for the
+    reference's stack, models/uflow_model.py:325-348).
+    ``ARFLOW_HFOLD_REFINE=<target>`` overrides independently of
+    ``ARFLOW_HFOLD`` (0 disables); unset, it follows ``ARFLOW_HFOLD`` /
+    the per-path default like the decoder fold.
+    """
+    env = os.environ.get("ARFLOW_HFOLD_REFINE")
+    if env is not None:
+        target = int(env)
+        k = max(1, target // batch) if target > batch else 1
+    else:
+        k = hfold_k(batch, height, default_target)
+    while k > 1 and (height % k or height // k < max_dil):
+        k -= 1
+    return k

@@ -327,6 +327,46 @@ class SplitConv(nn.Module):
         return (acc + bias).astype(dt)
 
 
+class Conv2dHValid(nn.Module):
+    """3x3 stride-1 (optionally dilated) conv that can run H-valid.
+
+    Parameters are IDENTICAL to ``conv2d``'s ``nn.Conv`` ('kernel'
+    (k,k,cin,features) HWIO + 'bias'), so checkpoints and torch imports are
+    layout-stable. ``h_valid=True`` means the caller pre-padded the H axis
+    with ``dilation`` exact halo rows per side (see uflow.py
+    ``_halo_pad_rows``) — the conv then pads W only, and its output rows
+    are exactly the full-H SAME conv's rows for that slice. Used by the
+    H-folded dilated refinement stack (reference dilation stack:
+    models/uflow_model.py:325-348)."""
+
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    kernel_init: Callable = xavier_uniform
+    dtype: object = None  # compute dtype; params stay float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, h_valid: bool = False) -> jnp.ndarray:
+        k, d = self.kernel_size, self.dilation
+        pad = ((k - 1) * d) // 2
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        dt = self.dtype if self.dtype is not None else x.dtype
+        hpad = (0, 0) if h_valid else (pad, pad)
+        y = lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), (1, 1), (hpad, (pad, pad)),
+            rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
 class ConvTranspose2dTorch(nn.Module):
     """Transpose conv with exact ``torch.nn.ConvTranspose2d(k, s, p)`` geometry.
 

@@ -22,15 +22,16 @@ import jax.numpy as jnp
 from arflow_tpu.models.bidir import (
     bidir_batch_enabled,
     hfold_k,
+    hfold_refine_k,
     pyramid_batch_enabled,
     split_decoder_enabled,
     wfold_pyramid_enabled,
 )
 from arflow_tpu.models.layers import (
+    Conv2dHValid,
     Conv2dNPad,
     ConvTranspose2dTorch,
     SplitConv,
-    conv2d,
     int8_pyramid_enabled,
     leaky_relu,
     wfold_begin,
@@ -49,18 +50,22 @@ from arflow_tpu.ops import (
 _LEAKY_ALPHA = 0.1
 
 
-def _halo_pad_rows(x, batch, k):
-    """Pad each of the k H-slices (contiguous per image along batch) with one
-    row of TRUE neighbor data on each side — the row a full-H 3x3 SAME conv
-    would read — and zeros at the real image top/bottom. Output H grows by 2
-    so an H-valid conv returns exactly the full-H conv's slice rows."""
+def _halo_pad_rows(x, batch, k, n: int = 1):
+    """Pad each of the k H-slices (contiguous per image along batch) with n
+    rows of TRUE neighbor data on each side — the rows a full-H 3x3 SAME
+    conv (with dilation n) would read — and zeros at the real image
+    top/bottom. Output H grows by 2n so an H-valid conv returns exactly the
+    full-H conv's slice rows. Requires n <= slice height (halos come from
+    the adjacent slice only; callers cap the fold factor accordingly)."""
     bk, hs, w, c = x.shape
-    assert bk == batch * k
+    assert bk == batch * k and n <= hs
     x5 = x.reshape(batch, k, hs, w, c)
-    zero = jnp.zeros_like(x5[:, :1, :1])
-    top = jnp.concatenate([zero, x5[:, :-1, -1:]], axis=1)
-    bot = jnp.concatenate([x5[:, 1:, :1], zero], axis=1)
-    return jnp.concatenate([top, x5, bot], axis=2).reshape(bk, hs + 2, w, c)
+    zero = jnp.zeros_like(x5[:, :1, :n])
+    top = jnp.concatenate([zero, x5[:, :-1, -n:]], axis=1)
+    bot = jnp.concatenate([x5[:, 1:, :n], zero], axis=1)
+    return jnp.concatenate([top, x5, bot], axis=2).reshape(
+        bk, hs + 2 * n, w, c
+    )
 
 
 def _dense_stack_hfold(convs, x_in, b0, k, alpha):
@@ -205,14 +210,19 @@ class PWCFlow(nn.Module):
             for level in range(1, self.num_levels)
         }
 
-        # Dilated refinement model (uflow_model.py:325-348).
+        # Dilated refinement model (uflow_model.py:325-348). Conv2dHValid ==
+        # conv2d param-for-param; it additionally accepts the H-fold h_valid
+        # mode (pre-padded dilation-row halos).
         refine = []
         for j, (c, d) in enumerate(self.refinement_filters):
             refine.append(
-                conv2d(c, kernel_size=3, dilation=d, name=f"refine_{j}",
-                       dtype=self.dtype)
+                Conv2dHValid(c, kernel_size=3, dilation=d,
+                             name=f"refine_{j}", dtype=self.dtype)
             )
-        refine.append(conv2d(2, kernel_size=3, name="refine_out", dtype=self.dtype))
+        refine.append(
+            Conv2dHValid(2, kernel_size=3, name="refine_out",
+                         dtype=self.dtype)
+        )
         self._refine_model = refine
 
     def _maybe_level_dropout(self, tensors, train, num_groups: int = 1):
@@ -324,11 +334,32 @@ class PWCFlow(nn.Module):
 
             flows.insert(0, flow)
 
-        # Refinement at the output level (uflow_model.py:227-240).
+        # Refinement at the output level (uflow_model.py:227-240). The
+        # H-fold covers the dilated stack too: per-conv halos are the
+        # dilation rows, and the fold factor is capped so each slice can
+        # supply its neighbor's halo (slice height >= max dilation).
         refinement = jnp.concatenate([context, flow], axis=-1)
-        for conv in self._refine_model[:-1]:
-            refinement = leaky_relu(conv(refinement), _LEAKY_ALPHA)
-        refinement = self._refine_model[-1](refinement)
+        br, hr = refinement.shape[0], refinement.shape[1]
+        kr = hfold_refine_k(
+            br, hr, max_dil=max(d for _, d in self.refinement_filters),
+            default_target=0 if train else 8,
+        )
+        if kr > 1:
+            x = refinement.reshape(br * kr, hr // kr, *refinement.shape[2:])
+            for conv, (_, d) in zip(self._refine_model[:-1],
+                                    self.refinement_filters):
+                x = leaky_relu(
+                    conv(_halo_pad_rows(x, br, kr, n=d), h_valid=True),
+                    _LEAKY_ALPHA,
+                )
+            x = self._refine_model[-1](
+                _halo_pad_rows(x, br, kr), h_valid=True
+            )
+            refinement = x.reshape(br, hr, *x.shape[2:])
+        else:
+            for conv in self._refine_model[:-1]:
+                refinement = leaky_relu(conv(refinement), _LEAKY_ALPHA)
+            refinement = self._refine_model[-1](refinement)
         (refinement,) = self._maybe_level_dropout([refinement], train, num_groups)
 
         flows[0] = flow + refinement

@@ -33,16 +33,22 @@ from arflow_tpu.models.bidir import (
     bidir_batch_enabled,
     component_batch_enabled,
     hfold_k,
+    hfold_refine_k,
     split_decoder_enabled,
 )
 from arflow_tpu.models.layers import (
+    Conv2dHValid,
     ConvTranspose2dTorch,
     SplitConv,
     conv2d,
     kaiming_normal,
     leaky_relu,
 )
-from arflow_tpu.models.uflow import PWCFeaturePyramid, _dense_stack_hfold
+from arflow_tpu.models.uflow import (
+    PWCFeaturePyramid,
+    _dense_stack_hfold,
+    _halo_pad_rows,
+)
 from arflow_tpu.ops import (
     compute_cost_volume,
     downsample,
@@ -127,12 +133,17 @@ class PWCProbFlow(nn.Module):
             )
             for level in range(1, self.num_levels)
         }
+        # Conv2dHValid == _conv param-for-param (same kernel/bias names,
+        # shapes, and kaiming init); it additionally accepts the H-fold
+        # h_valid mode (see models/uflow.py refinement fold).
         refine = [
-            _conv(c, dilation=d, name=f"refine_{j}", dtype=self.dtype)
+            Conv2dHValid(c, dilation=d, name=f"refine_{j}",
+                         kernel_init=kaiming_normal, dtype=self.dtype)
             for j, (c, d) in enumerate(self.refinement_filters)
         ]
         refine.append(
-            _conv(sum(self.out_channels), name="refine_out", dtype=self.dtype)
+            Conv2dHValid(sum(self.out_channels), name="refine_out",
+                         kernel_init=kaiming_normal, dtype=self.dtype)
         )
         self._refine_model = refine
         if self.mixture_weights:
@@ -260,9 +271,27 @@ class PWCProbFlow(nn.Module):
             out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, pad)))
 
         refinement = jnp.concatenate([context, out], axis=-1)
-        for conv in self._refine_model[:-1]:
-            refinement = leaky_relu(conv(refinement), _ALPHA)
-        refinement = self._refine_model[-1](refinement)
+        br, hr = refinement.shape[0], refinement.shape[1]
+        kr = hfold_refine_k(
+            br, hr, max_dil=max(d for _, d in self.refinement_filters),
+            default_target=0 if train else 8,
+        )
+        if kr > 1:
+            x = refinement.reshape(br * kr, hr // kr, *refinement.shape[2:])
+            for conv, (_, d) in zip(self._refine_model[:-1],
+                                    self.refinement_filters):
+                x = leaky_relu(
+                    conv(_halo_pad_rows(x, br, kr, n=d), h_valid=True),
+                    _ALPHA,
+                )
+            x = self._refine_model[-1](
+                _halo_pad_rows(x, br, kr), h_valid=True
+            )
+            refinement = x.reshape(br, hr, *x.shape[2:])
+        else:
+            for conv in self._refine_model[:-1]:
+                refinement = leaky_relu(conv(refinement), _ALPHA)
+            refinement = self._refine_model[-1](refinement)
         (refinement,) = self._maybe_dropout([refinement], train, num_groups)
         refined = out + refinement
 

@@ -16,6 +16,7 @@ trainer/uflow_trainer.py / uflow_elbo_trainer.py. TPU-native redesign:
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -44,6 +45,18 @@ class BaseTrainer:
         self.loss_func = loss_func
         self.mesh = mesh or make_mesh()
         self.n_devices = self.mesh.devices.size
+
+        # cfg.train.wfold: opt the TRAINING step into the W-folded feature
+        # pyramid (exact relayout; parameter-gradient parity pinned by
+        # tests/test_wfold_pyramid.py::test_wfold_kernel_grads_match_direct).
+        # Default (absent) leaves the trace-time gate at its per-path
+        # default — OFF under train=True, so trajectories stay byte-
+        # identical with prior rounds unless a config opts in. The gate is
+        # trace-time process state, exactly like ARFLOW_WFOLD_PYR; the
+        # trainer pins it before any step is traced.
+        wfold = cfg.get("wfold")
+        if wfold is not None:
+            os.environ["ARFLOW_WFOLD_PYR"] = "1" if wfold else "0"
 
         self.best_error = np.inf
         self.i_epoch = 0

@@ -120,6 +120,109 @@ def test_hfold_prob_forward_exact(setup):
                                        err_msg=f"prob level {lvl} b{imgs[0].shape[0]}")
 
 
+def _refine_env(refine):
+    os.environ["ARFLOW_HFOLD"] = "0"  # isolate: decoder fold off
+    if refine:
+        os.environ["ARFLOW_HFOLD_REFINE"] = "8"
+    else:
+        os.environ.pop("ARFLOW_HFOLD_REFINE", None)
+
+
+def test_hfold_refine_forward_exact():
+    """Round-5: the dilated refinement stack folds too (per-conv halo =
+    dilation rows, fold capped so slice height >= max dilation 16).
+    H=128 -> output-level h=32 -> k=2 slices of 16 rows."""
+    rng = np.random.RandomState(11)
+    img1 = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    model = PWCFlow(level_dropout=0.0, feature_norm=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), img1, img2)["params"]
+
+    outs = {}
+    for refine in (False, True):
+        _refine_env(refine)
+        try:
+            @jax.jit
+            def f(p, a, b):
+                return model.apply({"params": p}, a, b, with_bk=False)
+
+            outs[refine] = jax.device_get(f(params, img1, img2))
+        finally:
+            os.environ.pop("ARFLOW_HFOLD", None)
+            os.environ.pop("ARFLOW_HFOLD_REFINE", None)
+    for lvl, (a, b) in enumerate(
+        zip(outs[False]["flows_fw"], outs[True]["flows_fw"])
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-5,
+                                   err_msg=f"refine-fold level {lvl}")
+
+
+def test_hfold_refine_grads_exact():
+    rng = np.random.RandomState(12)
+    img1 = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    model = PWCFlow(level_dropout=0.0, feature_norm=True)
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), img1, img2)["params"]
+
+    grads = {}
+    for refine in (False, True):
+        _refine_env(refine)
+        try:
+            @jax.jit
+            def g(p, a, b):
+                def loss(pp):
+                    res = model.apply({"params": pp}, a, b, with_bk=False)
+                    return sum(jnp.sum(jnp.abs(f)) for f in res["flows_fw"])
+
+                return jax.grad(loss)(p)
+
+            grads[refine] = jax.device_get(g(params, img1, img2))
+        finally:
+            os.environ.pop("ARFLOW_HFOLD", None)
+            os.environ.pop("ARFLOW_HFOLD_REFINE", None)
+    flat0 = jax.tree_util.tree_leaves_with_path(grads[False])
+    flat1 = {jax.tree_util.keystr(p): v
+             for p, v in jax.tree_util.tree_leaves_with_path(grads[True])}
+    for path, leaf in flat0:
+        key = jax.tree_util.keystr(path)
+        scale = max(1.0, float(np.max(np.abs(leaf))))
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat1[key]),
+            rtol=1e-5, atol=1e-5 * scale,
+            err_msg=f"refine-fold grad mismatch at {key}",
+        )
+
+
+def test_hfold_refine_prob_forward_exact():
+    """PWCProbFlow's refinement stack takes the same dilated fold."""
+    from arflow_tpu.models.uflow_prob import PWCProbFlow
+
+    rng = np.random.RandomState(13)
+    img1 = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    model = PWCProbFlow(level_dropout=0.0, feature_norm=True,
+                        out_channels=(2, 2, 6), inv_cov=False)
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), img1, img2)["params"]
+
+    outs = {}
+    for refine in (False, True):
+        _refine_env(refine)
+        try:
+            @jax.jit
+            def f(p, a, b):
+                return model.apply({"params": p}, a, b, with_bk=False)
+
+            outs[refine] = jax.device_get(f(params, img1, img2))
+        finally:
+            os.environ.pop("ARFLOW_HFOLD", None)
+            os.environ.pop("ARFLOW_HFOLD_REFINE", None)
+    for lvl, (a, b) in enumerate(
+        zip(outs[False]["flows_fw"], outs[True]["flows_fw"])
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-5,
+                                   err_msg=f"prob refine-fold level {lvl}")
+
+
 def test_hfold_grads_exact(setup):
     params, img1, img2 = setup
     g0 = _grads(params, img1, img2, 0)

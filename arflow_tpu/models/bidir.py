@@ -101,6 +101,23 @@ def wfold_pyramid_enabled(default: bool = False) -> bool:
     return default
 
 
+def deconv_subpixel_enabled(default: bool = False) -> bool:
+    """Compute the 4x4/stride-2/pad-1 ConvTranspose (the context up-convs,
+    uflow_model.py context_up) as its exact subpixel decomposition: ONE
+    (2,2,C,4*C_out) VALID conv on the 1-padded input followed by a
+    4-phase interleave. XLA lowers the direct transposed conv via
+    lhs_dilation (zero-stuffed input), computing 16 taps per output of
+    which 12 are structural zeros; the subpixel form computes exactly the
+    4 real taps in an MXU-shaped conv. Numerics: identical multiply-add
+    set per output pixel (tests/test_deconv_subpixel.py pins fwd+grad).
+    Default ON at inference, OFF in training for trajectory byte-identity;
+    ``ARFLOW_DECONV_SUBPIX=0/1`` force-overrides at trace time."""
+    env = os.environ.get("ARFLOW_DECONV_SUBPIX")
+    if env is not None:
+        return env == "1"
+    return default
+
+
 def hfold_k(batch: int, height: int, default_target: int = 0) -> int:
     """Slices to fold H into batch for the dense-net decoder stacks.
 

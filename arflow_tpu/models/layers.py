@@ -385,7 +385,7 @@ class ConvTranspose2dTorch(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, subpixel: bool = False) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
         in_features = x.shape[-1]
         kernel = self.param(
@@ -395,6 +395,8 @@ class ConvTranspose2dTorch(nn.Module):
         if self.dtype is not None:
             kernel = kernel.astype(self.dtype)
             x = x.astype(self.dtype)
+        if subpixel and k == 4 and s == 2 and p == 1:
+            return self._subpixel(x, kernel)
         pad = k - 1 - p
         y = lax.conv_general_dilated(
             x,
@@ -407,6 +409,43 @@ class ConvTranspose2dTorch(nn.Module):
         if self.use_bias:
             bias = self.param(
                 "bias", jax.nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            y = y + bias
+        return y
+
+    def _subpixel(self, x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+        """Exact subpixel decomposition of the 4x4/s2/p1 transposed conv.
+
+        Output phase (a, b) of the direct path reads exactly the 2x2 input
+        window with taps kernel[2*dy + a, 2*dx + b] (the other 12 taps of
+        the 4x4 kernel land on the lhs_dilation zeros). One (2,2,C,4*F)
+        VALID conv over the 1-padded input computes all four phases; the
+        phase planes then interleave to (2H, 2W). Same 4 multiply-adds per
+        output pixel as the direct path — see
+        bidir.deconv_subpixel_enabled for the A/B numbers."""
+        n, hs, ws, cin = x.shape
+        f = self.features
+        # kernel[u, v, i, o] with u = 2*dy + a, v = 2*dx + b
+        k2 = kernel.reshape(2, 2, 2, 2, cin, f)  # [dy, a, dx, b, i, o]
+        k2 = k2.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, cin, 4 * f)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y2 = lax.conv_general_dilated(
+            xp, k2, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (n, hs+1, ws+1, 4f), channels (a, b, o) a-major
+        y2 = y2.reshape(n, hs + 1, ws + 1, 2, 2, f)
+        rows = []
+        for a in (0, 1):
+            cols = [y2[:, a:hs + a, b:ws + b, a, b, :] for b in (0, 1)]
+            rows.append(jnp.stack(cols, axis=3))  # (n, hs, ws, 2, f)
+        y = jnp.stack(rows, axis=2)  # (n, hs, 2, ws, 2, f)
+        y = y.reshape(n, 2 * hs, 2 * ws, f)
+        if self.use_bias:
+            bias = self.param(
+                "bias", jax.nn.initializers.zeros, (self.features,),
+                jnp.float32,
             )
             if self.dtype is not None:
                 bias = bias.astype(self.dtype)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from arflow_tpu.models.bidir import (
     bidir_batch_enabled,
+    deconv_subpixel_enabled,
     hfold_k,
     hfold_refine_k,
     pyramid_batch_enabled,
@@ -330,7 +331,9 @@ class PWCFlow(nn.Module):
                 flow = flow + flow_up
 
             flow_up = upsample(flow, is_flow=True)
-            context_up = self._context_up_layers[level](context)
+            context_up = self._context_up_layers[level](
+                context, subpixel=deconv_subpixel_enabled(default=not train)
+            )
 
             flows.insert(0, flow)
 

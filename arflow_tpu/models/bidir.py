@@ -110,8 +110,17 @@ def deconv_subpixel_enabled(default: bool = False) -> bool:
     which 12 are structural zeros; the subpixel form computes exactly the
     4 real taps in an MXU-shaped conv. Numerics: identical multiply-add
     set per output pixel (tests/test_deconv_subpixel.py pins fwd+grad).
-    Default ON at inference, OFF in training for trajectory byte-identity;
-    ``ARFLOW_DECONV_SUBPIX=0/1`` force-overrides at trace time."""
+
+    Chained A/B (benchmarks/bench_deconv_subpix_ab.py, TPU v5e, bf16): the
+    ISOLATED layer wins 1.6-2.3x (b4 112x256: 0.311 -> 0.192 ms; b8
+    96x160: 0.246 -> 0.107) but END-TO-END it is a wash-to-slight-LOSS
+    (384x640 b8: 535.3 -> 527.9 maps/s; Sintel b4: 293.1 -> 291.7;
+    streaming b1: 277.2 -> 273.8) — the direct deconv's output fuses into
+    the next level's decoder concat, while the 4-phase stack+reshape
+    forces a materialization that costs more than the removed zero-taps.
+    Default therefore OFF everywhere (a measured experiment gate, like
+    split_decoder); ``ARFLOW_DECONV_SUBPIX=0/1`` force-overrides at trace
+    time."""
     env = os.environ.get("ARFLOW_DECONV_SUBPIX")
     if env is not None:
         return env == "1"

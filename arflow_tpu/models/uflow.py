@@ -332,7 +332,7 @@ class PWCFlow(nn.Module):
 
             flow_up = upsample(flow, is_flow=True)
             context_up = self._context_up_layers[level](
-                context, subpixel=deconv_subpixel_enabled(default=not train)
+                context, subpixel=deconv_subpixel_enabled(default=False)
             )
 
             flows.insert(0, flow)

@@ -265,7 +265,7 @@ class PWCProbFlow(nn.Module):
 
             out_up = self.upsample_out(out)
             context_up = self._context_up_layers[level](
-                context, subpixel=deconv_subpixel_enabled(default=not train)
+                context, subpixel=deconv_subpixel_enabled(default=False)
             )
             outs.insert(0, out)
 

@@ -334,30 +334,40 @@ def _bench_training(jax, jnp, lax, rtt, timed):
     }))
 
     def train_chain(model, loss, p0, o0, a, bimg, with_rng=False):
+        # train=True: the REAL trainer path (uflow_trainer.py lf traces with
+        # train=True). Tracing train=False here silently engages the
+        # inference-default W-folded pyramid inside the step (+5.0 ms bf16)
+        # — the round-4 bench rows did exactly that, which with the
+        # full-tree consumption below (+2.3 ms) fully explains BENCH_r04's
+        # 120.9 samples/s vs the round-2 chained table's 135
+        # (benchmarks/bench_train_breakdown.py, BASELINE.md round 5).
         @jax.jit
         def chain(p, o, x, y, k):
             def body(carry, kk):
                 p, o = carry
 
                 def lf(pp):
-                    res = model.apply({"params": pp}, x, y, with_bk=True)
+                    res = model.apply({"params": pp}, x, y, with_bk=True,
+                                      train=True)
                     if with_rng:
                         return loss(res, x, y, rng=kk)["total"]
                     return loss(res, x, y)["total"]
 
-                _, g = jax.value_and_grad(lf)(p)
+                l, g = jax.value_and_grad(lf)(p)
                 u, o2 = tx.update(g, o, p)
-                return (optax.apply_updates(p, u), o2), None
+                return (optax.apply_updates(p, u), o2), l
 
             keys = jax.random.split(k, chain_n)
-            (p2, _), _ = lax.scan(body, (p, o), keys)
-            # Full-tree consumption: summing a single leaf lets XLA fold the
-            # whole chain away when that leaf is graph-disconnected (its
-            # update is constant zero) — measured as ~0 ms/step. Same class
-            # as the round-3 gather-probe carry bug (ADVICE.md).
-            return sum(
-                jnp.sum(l.astype(jnp.float32))
-                for l in jax.tree_util.tree_leaves(p2)
+            (p2, _), ls = lax.scan(body, (p, o), keys)
+            # Consume the per-step losses + one param leaf. Every step's
+            # loss depends on ALL params at that step, so no step can fold
+            # away (the round-3 gather-probe carry bug class, ADVICE.md);
+            # only the final step's updates of the other leaves are
+            # DCE-able (= the ~0.3 ms optimizer, /20 steps — sub-noise).
+            # Summing every leaf instead costs a measured +2.3 ms/step of
+            # pure harness overhead (bench_train_breakdown.py).
+            return jnp.sum(ls) + jnp.sum(
+                jax.tree_util.tree_leaves(p2)[0].astype(jnp.float32)
             )
 
         total, ts = timed(chain, p0, o0, a, bimg, jax.random.PRNGKey(2))

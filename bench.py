@@ -314,14 +314,20 @@ def _bench_streaming(jax, jnp, lax, rtt, timed):
 
 
 def _bench_training(jax, jnp, lax, rtt, timed):
-    """Chained train-step throughput for the quotable training rows."""
+    """Chained train-step throughput for the quotable training rows.
+
+    chain_n=30 (round 5): at 20 the RTT spread leaves ~1% run-to-run on
+    the bf16 row (134.6-136.1 samples/s across process histories); the
+    longer chain amortizes it. The standalone dedicated-harness number is
+    58.79 ms = 136.1 samples/s at 0.2% spread
+    (benchmarks/bench_train_breakdown.py)."""
     import optax
 
     from arflow_tpu.config import Config
     from arflow_tpu.losses import get_loss
     from arflow_tpu.models import get_model
 
-    chain_n = 20
+    chain_n = 30
     rng = np.random.RandomState(1)
     b, h, w = 8, 256, 448
     img1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))

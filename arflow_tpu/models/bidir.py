@@ -162,6 +162,15 @@ def hfold_refine_k(batch: int, height: int, max_dil: int,
     ``ARFLOW_HFOLD_REFINE=<target>`` overrides independently of
     ``ARFLOW_HFOLD`` (0 disables); unset, it follows ``ARFLOW_HFOLD`` /
     the per-path default like the decoder fold.
+
+    Measured end-to-end (benchmarks/bench_refine_fold_ab.py, TPU v5e,
+    bf16): a LOSS at the small-batch shapes it targets — Sintel b4
+    13.48 -> 13.70 ms, streaming b1 3.34 -> 3.52 — because the d=16
+    halo is 16 rows on 16-56-row slices (57-114% overhead rows for that
+    conv), outweighing the batch-cliff win; in the bf16 train step it is
+    a sub-spread wash (bench_train_breakdown.py). Callers therefore pass
+    ``default_target=0`` (OFF everywhere); the fold + its exact parity
+    (tests/test_hfold.py) remain as an opt-in measured experiment.
     """
     env = os.environ.get("ARFLOW_HFOLD_REFINE")
     if env is not None:

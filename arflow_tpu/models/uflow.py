@@ -338,14 +338,19 @@ class PWCFlow(nn.Module):
             flows.insert(0, flow)
 
         # Refinement at the output level (uflow_model.py:227-240). The
-        # H-fold covers the dilated stack too: per-conv halos are the
-        # dilation rows, and the fold factor is capped so each slice can
-        # supply its neighbor's halo (slice height >= max dilation).
+        # H-fold can cover the dilated stack too (per-conv halos = the
+        # dilation rows, fold capped so each slice supplies its neighbor's
+        # halo) but MEASURES A LOSS end-to-end at the small-batch shapes it
+        # targets — the d=16 halo is 57-114% overhead rows per slice
+        # (Sintel b4 13.48 -> 13.70 ms, streaming b1 3.34 -> 3.52;
+        # benchmarks/bench_refine_fold_ab.py) — so the default is OFF
+        # everywhere and ARFLOW_HFOLD_REFINE opts in (parity pinned either
+        # way, tests/test_hfold.py).
         refinement = jnp.concatenate([context, flow], axis=-1)
         br, hr = refinement.shape[0], refinement.shape[1]
         kr = hfold_refine_k(
             br, hr, max_dil=max(d for _, d in self.refinement_filters),
-            default_target=0 if train else 8,
+            default_target=0,
         )
         if kr > 1:
             x = refinement.reshape(br * kr, hr // kr, *refinement.shape[2:])

@@ -275,9 +275,11 @@ class PWCProbFlow(nn.Module):
 
         refinement = jnp.concatenate([context, out], axis=-1)
         br, hr = refinement.shape[0], refinement.shape[1]
+        # Default OFF: the dilation-row halos outweigh the batch-cliff win
+        # end-to-end (see models/uflow.py refinement + bench_refine_fold_ab).
         kr = hfold_refine_k(
             br, hr, max_dil=max(d for _, d in self.refinement_filters),
-            default_target=0 if train else 8,
+            default_target=0,
         )
         if kr > 1:
             x = refinement.reshape(br * kr, hr // kr, *refinement.shape[2:])

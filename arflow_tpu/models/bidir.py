@@ -137,6 +137,13 @@ def hfold_k(batch: int, height: int, default_target: int = 0) -> int:
     with exact per-layer halo exchange recovers the fast regime for
     small-batch inference (Sintel-res b4, streaming b1).
 
+    Round-5 target sweep (bench_hfold_ab.py, e2e bf16): the emitter keeps
+    gaining a little past the cliff — target 16 beats 8 at 384x640 b8
+    (k=2: 14.56 -> 14.05 ms, +3.8%) and matches it at b4/b1 (13.55 vs
+    13.58; 3.25 vs 3.27), while target 32 loses everywhere (14.16 /
+    14.24 / 3.63). The PWCFlow decoder therefore defaults to target 16 at
+    inference; PWCProbFlow keeps 8 (it serves at b<=4 where they tie).
+
     Returns the largest k <= target/batch that divides height (1 = off).
     ``ARFLOW_HFOLD=<target effective batch>`` overrides ``default_target``
     at trace time; 0 disables.

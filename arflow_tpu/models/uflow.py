@@ -302,8 +302,13 @@ class PWCFlow(nn.Module):
                 # where the b<8 conv cliff bites: +9.6% at Sintel-res b4,
                 # +14.6% at streaming b1, bench_hfold_ab.py); OFF in training
                 # so trajectories stay byte-identical with prior rounds.
-                # ARFLOW_HFOLD overrides either way.
-                k = hfold_k(b0, h0, default_target=0 if train else 8)
+                # Target 16, not 8 (round 5): the conv emitter keeps gaining
+                # past the b>=8 cliff at the flagship shape — 384x640 b8
+                # k=2 runs 14.56 -> 14.05 ms (+3.8%), while b4/b1 (k 4/16
+                # vs 2/8) are a wash and target 32 loses everywhere
+                # (bench_hfold_ab.py round-5 sweep). ARFLOW_HFOLD overrides
+                # either way.
+                k = hfold_k(b0, h0, default_target=0 if train else 16)
                 if k > 1:
                     # Fold H into batch for the dense-net stack: XLA's conv
                     # emitter runs ~2.5x faster at batch>=8 than at b<=4 for

@@ -241,6 +241,10 @@ class PWCProbFlow(nn.Module):
                 b0, h0 = x_in.shape[0], x_in.shape[1]
                 # H-fold relayout for small-batch inference (exact halo
                 # numerics; see models/uflow.py + BASELINE.md round 4).
+                # Target 8 (not the uflow decoder's 16): the prob family
+                # serves at b<=4 where the round-5 sweep measured 8 vs 16
+                # a wash (bench_hfold_ab.py); 16 is only measured to win
+                # at b8, which this family's ELBO memory never reaches.
                 k = hfold_k(b0, h0, default_target=0 if train else 8)
                 if k > 1:
                     x_in = x_in.reshape(b0 * k, h0 // k, *x_in.shape[2:])

@@ -55,7 +55,11 @@ def main():
         rtt = timed(trivial, img1)
 
         out = {"shape": f"b{b}_{h}x{w}"}
-        for mode in ("0", "8"):
+        # Round 5: also probe deeper folds (16/32) past the b>=8 cliff
+        # plateau; pin the refinement fold OFF so ARFLOW_HFOLD's
+        # follow-through doesn't contaminate the decoder measurement.
+        os.environ["ARFLOW_HFOLD_REFINE"] = "0"
+        for mode in ("0", "8", "16", "32"):
             os.environ["ARFLOW_HFOLD"] = mode
 
             @jax.jit
